@@ -1,0 +1,105 @@
+"""Distributed-vs-single-node golden tests (the BASELINE.json:6 gate):
+the Spark pipeline's per-url SHA-256 must be byte-identical to the pure
+single-node kernel on the same synthesized pages, under any partitioning,
+and the job must be checkpoint-resumable without duplicates.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from pdf_extract_spark.fixtures import pages
+from pdf_extract_spark.kernels.decode import decode_payload, text_sha256
+from pdf_extract_spark.operators.extract import extract_text
+from pdf_extract_spark.plans.pipeline import final_digest, run_extraction
+
+N_PAGES = 400
+
+
+@pytest.fixture(scope="module")
+def golden():
+    """Single-node kernel run — the oracle. url → (sha or None, error)."""
+    out = {}
+    for row in pages.make_rows(N_PAGES):
+        url, _, payload, _, _ = row
+        text, err = decode_payload(payload)
+        out[url] = (text_sha256(text) if text is not None else None, err)
+    return out
+
+
+@pytest.fixture(scope="module")
+def pages_sdf(spark):
+    return spark.createDataFrame(pages.make_rows(N_PAGES),
+                                 schema=pages.PAGES_SCHEMA)
+
+
+def _collect_shas(df):
+    return {r["url"]: (r["text_sha256"], r["error"])
+            for r in df.select("url", "text_sha256", "error").collect()}
+
+
+def test_spark_extract_matches_golden(spark, pages_sdf, golden):
+    got = _collect_shas(extract_text(pages_sdf, num_partitions=8))
+    assert got == golden
+
+
+def test_partitioning_invariance(spark, pages_sdf, golden):
+    """Byte-identity must hold for any partition count / layout."""
+    for p in (1, 3, 16):
+        got = _collect_shas(extract_text(pages_sdf.repartition(p),
+                                         num_partitions=p))
+        assert got == golden, f"divergence at partitions={p}"
+
+
+def test_error_taxonomy(spark, pages_sdf, golden):
+    got = _collect_shas(extract_text(pages_sdf, num_partitions=4))
+    errs = {e for _, e in got.values() if e}
+    assert "empty_payload" in errs
+    assert "invalid_utf8" in errs
+    assert "truncated_pdf" in errs
+    n_err = sum(1 for _, e in got.values() if e)
+    assert 0 < n_err < N_PAGES * 0.1
+
+
+def test_resume_no_duplicates(spark, tmp_path_factory, golden):
+    """Kill-after-partial simulation: run on a prefix, then resume with the
+    full input; final table must equal a from-scratch run (same digest),
+    with no duplicate urls and lineage metrics accounting for every row."""
+    base = str(tmp_path_factory.mktemp("resume"))
+    full = spark.createDataFrame(pages.make_rows(N_PAGES), schema=pages.PAGES_SCHEMA)
+    prefix = spark.createDataFrame(pages.make_rows(250), schema=pages.PAGES_SCHEMA)
+
+    out_a = f"{base}/a"
+    run_extraction(spark, prefix, out_a, run_id="r1", num_partitions=4)
+    stats = run_extraction(spark, full, out_a, run_id="r2", num_partitions=4)
+    assert stats["n_in"] == N_PAGES - 250  # only the remainder was processed
+
+    out_b = f"{base}/b"
+    run_extraction(spark, full, out_b, run_id="scratch", num_partitions=4)
+
+    df_a = spark.read.parquet(f"{out_a}/data")
+    assert df_a.count() == df_a.select("url").distinct().count()
+    assert final_digest(spark, out_a) == final_digest(spark, out_b)
+
+    lineage = spark.read.parquet(f"{out_a}/lineage")
+    rows = lineage.groupBy().sum("n_in", "n_err").collect()[0]
+    assert rows["sum(n_in)"] == N_PAGES  # 250 in r1 + 150 in r2, no overlap
+
+    quarantine = spark.read.parquet(f"{out_a}/quarantine")
+    n_golden_err = sum(1 for _, e in golden.values() if e)
+    assert quarantine.count() == n_golden_err
+
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_rerun_when_complete_is_noop(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("noop"))
+    df = spark.createDataFrame(pages.make_rows(100), schema=pages.PAGES_SCHEMA)
+    run_extraction(spark, df, base, run_id="r1", num_partitions=2)
+    d1 = final_digest(spark, base)
+    stats = run_extraction(spark, df, base, run_id="r2", num_partitions=2)
+    assert stats["n_in"] == 0
+    assert final_digest(spark, base) == d1
+    shutil.rmtree(base, ignore_errors=True)

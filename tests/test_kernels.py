@@ -1,0 +1,148 @@
+"""Unit tests for the pure deterministic kernels (the golden oracle layer)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pdf_extract_spark.fixtures import pages, pdf_writer
+from pdf_extract_spark.kernels.chunker import check_chunks, split_text
+from pdf_extract_spark.kernels.decode import decode_payload
+from pdf_extract_spark.kernels.embed import embed_text
+from pdf_extract_spark.kernels.html_extract import decode_html_bytes
+from pdf_extract_spark.kernels.ner import extract_entities
+from pdf_extract_spark.kernels.pdf_extract import extract_pdf_text
+from pdf_extract_spark.kernels.summarize import summarize_extractive
+from pdf_extract_spark.kernels.textstats import (
+    detect_language, hamming64, simhash64, token_count,
+)
+
+
+def test_html_strips_boilerplate():
+    payload = pages.make_html(2, "en")
+    text, err = decode_html_bytes(payload)
+    assert err is None
+    assert "Document 00000002" in text
+    assert "buy now" not in text          # ads dropped
+    assert "section 0 link" not in text   # nav dropped
+    assert "related item" not in text     # sidebar dropped
+    assert "privacy" not in text          # footer dropped
+    assert "var x=1" not in text          # script dropped
+
+
+def test_html_adversarial():
+    assert decode_html_bytes(b"")[1] == "empty_payload"
+    assert decode_html_bytes(b"<html>\xff\xfe</html>")[1] == "invalid_utf8"
+    assert decode_html_bytes(b"<html><body><nav>x</nav></body></html>")[1] == "no_main_content"
+
+
+def test_pdf_simple_page_order():
+    pdf = pdf_writer.build_pdf([
+        pdf_writer.page_ops_simple(["first page line one", "first page line two"]),
+        pdf_writer.page_ops_simple(["second page line"]),
+    ])
+    text, err = extract_pdf_text(pdf)
+    assert err is None
+    assert text == ("first page line one\nfirst page line two"
+                    "\n\nsecond page line")
+
+
+def test_pdf_word_grouping_by_gap():
+    pdf = pdf_writer.build_pdf([pdf_writer.page_ops_words([["alpha", "beta", "gamma"]])])
+    text, _ = extract_pdf_text(pdf)
+    assert text == "alpha beta gamma"
+
+
+def test_pdf_two_column_reading_order():
+    pdf = pdf_writer.build_pdf([
+        pdf_writer.page_ops_two_column(["L1 a b c", "L2 a b c"], ["R1 x", "R2 x"]),
+    ])
+    text, _ = extract_pdf_text(pdf)
+    # left column read fully before right despite right-first stream order
+    assert text == "L1 a b c\nL2 a b c\nR1 x\nR2 x"
+
+
+def test_pdf_table_region_tabs():
+    pdf = pdf_writer.build_pdf([
+        pdf_writer.page_ops_table(["h1", "h2"], [["a", "b"], ["c", "d"]]),
+    ])
+    text, _ = extract_pdf_text(pdf)
+    assert "h1\th2" in text and "a\tb" in text
+
+
+def test_pdf_tj_kerning_word_gaps():
+    pdf = pdf_writer.build_pdf([
+        pdf_writer.page_ops_tj_array([["ker", -100, "ned", -900, "words"]]),
+    ])
+    text, _ = extract_pdf_text(pdf)
+    assert text == "kerned words"
+
+
+def test_pdf_adversarial():
+    assert extract_pdf_text(b"%PDF-1.4\nbroken")[1] == "truncated_pdf"
+    assert decode_payload(b"")[1] == "empty_payload"
+
+
+def test_chunker_bounds_and_overlap():
+    text = " ".join(f"word{i}" for i in range(900))
+    chunks = split_text(text, chunk_size=2000, chunk_overlap=200)
+    assert len(chunks) > 1
+    assert all(len(c) <= 2000 for c in chunks)
+    assert check_chunks(chunks)
+    # overlap: some tail of chunk i reappears at the head of chunk i+1
+    for a, b in zip(chunks, chunks[1:]):
+        tail_word = a.split()[-1]
+        assert tail_word in b[:400]
+
+
+@given(st.text(min_size=0, max_size=5000))
+@settings(max_examples=50, deadline=None)
+def test_chunker_never_exceeds_size_and_covers_content(text):
+    chunks = split_text(text, chunk_size=300, chunk_overlap=50)
+    assert all(len(c) <= 300 for c in chunks)
+    if text.strip():
+        joined = "".join(chunks)
+        # no content invented
+        for c in chunks:
+            assert c in text or all(part in text for part in c.split())
+
+
+@given(st.text(min_size=1, max_size=2000))
+@settings(max_examples=30, deadline=None)
+def test_embedding_deterministic_and_unit_norm(text):
+    import numpy as np
+
+    a = embed_text(text)
+    b = embed_text(text)
+    assert (a == b).all()
+    n = float(np.linalg.norm(a.astype("float64")))
+    assert n == 0.0 or abs(n - 1.0) < 1e-5
+
+
+def test_ner_categories():
+    ents = extract_entities(
+        "Alice Johnson met Bob Stone in Paris on 2024-03-15. "
+        "Budget was 1,500.75 which is 12.5% higher."
+    )
+    assert "Alice Johnson" in ents["names"]
+    assert "2024-03-15" in ents["dates"]
+    assert "Paris" in ents["locations"]
+    assert "1,500.75" in ents["numbers"] and "12.5%" in ents["numbers"]
+    # canonical order: sorted distinct
+    for v in ents.values():
+        assert v == sorted(set(v))
+
+
+def test_summarizer_budget_and_determinism():
+    text = " ".join(f"Sentence number {i} talks about spark data engines." for i in range(50))
+    s1 = summarize_extractive(text)
+    s2 = summarize_extractive(text)
+    assert s1 == s2
+    assert len(s1.split()) <= 110
+
+
+def test_langid_and_stats():
+    assert detect_language("the cat sat on the mat and it was happy") == "en"
+    assert detect_language("le chat est sur la table avec les autres") == "fr"
+    assert detect_language("这是一个中文文档的例子") == "zh"
+    assert token_count("a b  c") == 3
+    assert hamming64(simhash64("spark engine data"), simhash64("spark engine data")) == 0
