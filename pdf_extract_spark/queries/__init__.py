@@ -1,0 +1,61 @@
+"""Driver-facing query registry: one entry per implemented operator from
+SURVEY.md §2, each a ``(spark, sf_dir) -> DataFrame`` callable with (where
+SQL-expressible) a DuckDB oracle producing value-identical output.
+
+Determinism contract shared by every query here (SURVEY.md §7.3 item 1):
+
+- Float sums are computed over ``decimal`` casts (exact, order-insensitive)
+  and converted back to double only once at the end, so Spark's
+  partial/final hash aggregation and DuckDB's single-threaded fold agree
+  bit-for-bit.
+- Per-row double arithmetic uses identical expression shapes in both
+  engines (IEEE 754 ops are deterministic given the same operand order);
+  ``pow`` with non-integer behavior is avoided in favor of literal
+  CASE tables (libm implementations may differ between engines).
+- Array folds (dot products, L2) iterate in element order on both sides —
+  verified bit-exact Spark vs DuckDB (DuckDB's builtin ``list_distance``
+  accumulates in float32 and is NOT used).
+- Every top-k / limit has a total-order tie-breaker so set membership at
+  the cutoff is engine-independent.
+- Every computed column is aliased identically in the Spark plan and the
+  oracle SQL (driver hashes columns sorted by name).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL over pre-registered views, or None → rows-only
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = Query(fn=fn, oracle=oracle)
+        return fn
+    return deco
+
+
+def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all() -> dict[str, Query]:
+    """Import every query module (side effect: fills REGISTRY)."""
+    from . import relational  # noqa: F401
+    from . import chunks_q  # noqa: F401
+    from . import vectors_q  # noqa: F401
+    from . import dedup_q  # noqa: F401
+    from . import text_q  # noqa: F401
+    from . import docpipe_q  # noqa: F401
+    return REGISTRY

@@ -1,0 +1,264 @@
+"""Relational core: joins / aggregations / windows / semi-anti / JSON.
+
+The reference has no SQL engine, but its dataflow is built from these
+relational shapes (SURVEY.md §2.3-§2.6): partial+final aggregation (A6
+analog), top-k joins (J1 analog), window dedup (W4), anti-join resume
+(§2.3 note). These queries exercise them on the TPC-H-ish fixtures where a
+clean ANSI oracle exists, at plan shapes that scale: broadcast for dim
+tables, hash-agg with map-side partials, `TakeOrderedAndProject` for top-k.
+
+All money/measure sums go through DECIMAL casts (exact, order-insensitive)
+per the package determinism contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from . import register, tbl
+
+_DEC_SUM_QTY = "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)"
+_DEC_SUM_PRICE = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)"
+# discount/tax are 2-decimal in the data; DECIMAL(4,2) factors keep every
+# product within int64 unscaled range on the DuckDB side while staying exact
+_DISC_PRICE = ("CAST(l_extendedprice AS DECIMAL(12,2)) * "
+               "CAST(1.0 - l_discount AS DECIMAL(4,2))")
+_CHARGE = _DISC_PRICE + " * CAST(1.0 + l_tax AS DECIMAL(4,2))"
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_DEC_SUM_QTY} AS sum_qty,
+           {_DEC_SUM_PRICE} AS sum_base_price,
+           CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM({_CHARGE}) AS DOUBLE) AS sum_charge,
+           {_DEC_SUM_QTY} / COUNT(*) AS avg_qty,
+           {_DEC_SUM_PRICE} / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter → partial/final hash agg (SURVEY A6 analog).
+
+    Plan check: filter pushes to the parquet scan; WholeStageCodegen covers
+    the whole agg; one shuffle on the 6-value group key.
+    """
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate")
+                  <= F.lit("2001-09-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr(_DEC_SUM_QTY).alias("sum_qty"),
+            F.expr(_DEC_SUM_PRICE).alias("sum_base_price"),
+            F.expr(f"CAST(SUM({_DISC_PRICE}) AS DOUBLE)").alias("sum_disc_price"),
+            F.expr(f"CAST(SUM({_CHARGE}) AS DOUBLE)").alias("sum_charge"),
+            F.expr(f"{_DEC_SUM_QTY} / COUNT(*)").alias("avg_qty"),
+            F.expr(f"{_DEC_SUM_PRICE} / COUNT(*)").alias("avg_price"),
+            F.expr("CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*)")
+            .alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: broadcast dim join ×2 → agg → top-k.
+
+    `broadcast(customer)` keeps the big lineitem side shuffle-free on the
+    first join; top-k compiles to TakeOrderedAndProject (no full sort).
+    Tie-break on l_orderkey makes cutoff membership engine-independent.
+    """
+    cutoff = F.lit("1998-06-30 00:00:00").cast("timestamp_ntz")
+    cust = tbl(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = tbl(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(F.broadcast(orders.join(F.broadcast(cust),
+                                        orders.o_custkey == cust.c_custkey)),
+                li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.expr(f"CAST(SUM({_DISC_PRICE}) AS DOUBLE)").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_nation_revenue",
+    oracle=f"""
+    SELECT n_name, CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join with broadcast dims (nation/supplier/
+    customer) so the only shuffle is the lineitem↔orders equi-join + agg."""
+    cust = tbl(spark, sf_dir, "customer")
+    orders = tbl(spark, sf_dir, "orders")
+    li = tbl(spark, sf_dir, "lineitem")
+    supp = tbl(spark, sf_dir, "supplier")
+    nation = tbl(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.expr(f"CAST(SUM({_DISC_PRICE}) AS DOUBLE)").alias("revenue"))
+    )
+
+
+@register(
+    "window_top_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4-shape window dedup/rank (SURVEY §2.5): row_number per key, keep
+    top-3. One shuffle on the partition key; no global sort."""
+    orders = tbl(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"),
+                                                F.asc("o_orderkey"))
+    return (
+        orders.select("o_custkey", "o_orderkey", "o_totalprice",
+                      F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "anti_join_quiet_customers",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+    """,
+)
+def anti_join_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the checkpoint-resume primitive (SURVEY §2.3 note:
+    the rebuild's lineage resume is exactly this shape): customers with no
+    big-ticket order."""
+    cust = tbl(spark, sf_dir, "customer")
+    orders = (tbl(spark, sf_dir, "orders")
+              .filter(F.col("o_totalprice") > 300_000)
+              .select("o_custkey"))
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+            .select("c_custkey", "c_mktsegment"))
+
+
+@register(
+    "semi_join_urgent_customers",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join with a pushed-down filter on the probe side."""
+    cust = tbl(spark, sf_dir, "customer")
+    orders = (tbl(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey"))
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+            .select("c_custkey", "c_acctbal"))
+
+
+@register(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time rollup + JSON field extraction (SURVEY F8: from_json with
+    explicit schema — here get_json_object, the scalar form)."""
+    ev = tbl(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)")
+            .alias("sum_value"),
+            F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+        )
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS NULL THEN 1
+                  WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  > 1800000 THEN 1 ELSE 0 END AS new_sess
+      FROM events)
+    SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: lag window + conditional sum. The batch
+    analog of the streaming session-window operator (§2.10 extension).
+    Gap math is timestamp-zone-free (timestampdiff on the NTZ values) so it
+    matches DuckDB's naive epoch_ms regardless of session timezone."""
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap = F.expr("timestampdiff(MILLISECOND, prev_ts, ts)")
+    new_sess = F.when(gap.isNull() | (gap > 1_800_000), 1).otherwise(0)
+    return (
+        ev.withColumn("prev_ts", prev)
+        .select("user_id", new_sess.alias("new_sess"))
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events"))
+    )

@@ -1,0 +1,364 @@
+"""Text-analysis operators: normalization/truncation (P6), token counting
+(F1-F3), quality scoring, rule-based entity extraction (F10/P4/A2/A3/U3),
+entity reconciliation (J4), top-N summaries (A7) — SURVEY.md §2.2/§2.4/
+§2.7 — plus kernel-backed language-ID / summarization / fingerprint /
+SimHash queries (rows-only oracle: not ANSI-SQL-expressible).
+
+SQL-expressible ops are pure Catalyst expressions (whole-stage codegen, no
+Python in the hot path); kernel ops are Arrow-batched pandas UDFs over the
+same pure functions pytest uses as single-node goldens.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StringType
+from pyspark.sql.window import Window
+
+from . import register, tbl
+
+
+@register(
+    "query_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(substr(text, 1, 500), '\s+', ' ', 'g')) AS q_norm,
+           length(trim(regexp_replace(substr(text, 1, 500), '\s+', ' ', 'g')))
+             AS q_len
+    FROM documents
+    """,
+)
+def query_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 query truncation + whitespace collapse (reference
+    tools.py:415-426: first 500 chars, ' '.join(q.split()))."""
+    docs = tbl(spark, sf_dir, "documents")
+    q_norm = F.trim(F.regexp_replace(F.substring("text", 1, 500), r"\s+", " "))
+    return docs.select("doc_id", q_norm.alias("q_norm"),
+                       F.length(q_norm).alias("q_len"))
+
+
+@register(
+    "token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             AS n_tokens_ws,
+           CAST(floor(length(text) / 3) AS BIGINT) AS token_est,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]', 0))
+             AS BIGINT) AS n_tokens_re
+    FROM documents
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F3 token counting: whitespace tokens, the reference's
+    len//3 token estimate (agents.py:412-414), and a BPE-ish regex
+    tokenizer (runs-of-letters | runs-of-digits | single other-glyph, so
+    CJK text counts per character)."""
+    docs = tbl(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+        .alias("n_tokens_ws"),
+        F.floor(F.length("text") / 3).cast("bigint").alias("token_est"),
+        # Spark SQL string literals eat backslashes, hence the double escape
+        F.size(F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)"))
+        .cast("bigint").alias("n_tokens_re"),
+    )
+
+
+@register(
+    "doc_quality",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, length(text) AS n,
+             string_split(text, ' ') AS w
+      FROM documents),
+    feat AS (
+      SELECT doc_id, n,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS sum_wlen,
+             CAST(len(list_filter(w, x -> x IN ('the','and','of','to','in',
+               'for','is','it','that','was'))) AS BIGINT) AS n_stop
+      FROM base)
+    SELECT doc_id, n_words, sum_wlen, n_stop,
+           (CASE WHEN n BETWEEN 200 AND 100000 THEN 0.4 ELSE 0.2 END
+            + CASE WHEN CAST(sum_wlen AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0
+                   THEN 0.3 ELSE 0.1 END
+            + CASE WHEN CAST(n_stop AS DOUBLE) / n_words >= 0.05
+                   THEN 0.3 ELSE 0.1 END) AS quality
+    FROM feat
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (training-data pipeline op): length band, mean word
+    length band, stopword ratio — banded weights as exact CASE arithmetic
+    (the richer float formula lives in kernels/textstats.quality_score,
+    exercised by pytest)."""
+    docs = tbl(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.length("text").alias("n"),
+                       F.split("text", " ").alias("w"))
+    stop = "('the','and','of','to','in','for','is','it','that','was')"
+    feat = base.select(
+        "doc_id", "n",
+        F.size("w").cast("bigint").alias("n_words"),
+        F.expr("CAST(aggregate(transform(w, x -> length(x)), 0,"
+               " (acc, v) -> acc + v) AS BIGINT)").alias("sum_wlen"),
+        F.expr(f"CAST(size(filter(w, x -> x IN {stop})) AS BIGINT)")
+        .alias("n_stop"),
+    )
+    quality = F.expr(
+        "CASE WHEN n BETWEEN 200 AND 100000 THEN 0.4 ELSE 0.2 END"
+        " + CASE WHEN CAST(sum_wlen AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0"
+        "        THEN 0.3 ELSE 0.1 END"
+        " + CASE WHEN CAST(n_stop AS DOUBLE) / n_words >= 0.05"
+        "        THEN 0.3 ELSE 0.1 END")
+    return feat.select("doc_id", "n_words", "sum_wlen", "n_stop",
+                       quality.alias("quality"))
+
+
+# Deterministic entity injection so the multilingual lowercase corpus has
+# names/dates/numbers to find (reference extracts from arbitrary documents).
+_INJECT = ("'Alice Johnson visited Paris Region on 2024-01-15 and spent"
+           " 42.50 units. ' || text")
+_SPARK_INJECT = ("concat('Alice Johnson visited Paris Region on 2024-01-15"
+                 " and spent 42.50 units. ', text)")
+
+_PAT_DATE = r"\d{4}-\d{2}-\d{2}"
+_PAT_NUM = r"\b\d+\.\d+\b"
+_PAT_NAME = r"[A-Z][a-z]+ [A-Z][a-z]+"
+
+
+@register(
+    "entity_extract",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN {_INJECT} ELSE text END AS t2
+      FROM documents),
+    e AS (
+      SELECT doc_id, 'dates' AS category,
+             list_sort(list_distinct(regexp_extract_all(t2, '{_PAT_DATE}', 0))) AS vals
+      FROM t
+      UNION ALL
+      SELECT doc_id, 'numbers',
+             list_sort(list_distinct(regexp_extract_all(t2, '{_PAT_NUM}', 0)))
+      FROM t
+      UNION ALL
+      SELECT doc_id, 'names',
+             list_sort(list_distinct(regexp_extract_all(t2, '{_PAT_NAME}', 0)))
+      FROM t)
+    SELECT doc_id, category, unnest(vals) AS entity
+    FROM e WHERE len(vals) > 0
+    """,
+)
+def entity_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 rule-based entity extraction, relational skeleton (reference
+    agents.py:242-273 line parser + :604-608 dedup): regexp_extract_all per
+    category → distinct → canonical sort (SURVEY A3: the reference's
+    list(set()) order is nondeterministic; we sort) → explode."""
+    docs = tbl(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.expr(f"CASE WHEN doc_id % 5 = 0 THEN {_SPARK_INJECT}"
+               " ELSE text END").alias("t2"))
+
+    def cat(name: str, pat: str) -> DataFrame:
+        # Spark SQL string literals eat backslashes → double-escape the regex
+        spat = pat.replace("\\", "\\\\")
+        vals = F.array_sort(F.array_distinct(
+            F.expr(f"regexp_extract_all(t2, '{spat}', 0)")))
+        return t.select("doc_id", F.lit(name).alias("category"),
+                        vals.alias("vals"))
+
+    e = (cat("dates", _PAT_DATE)
+         .unionByName(cat("numbers", _PAT_NUM))
+         .unionByName(cat("names", _PAT_NAME)))
+    return (e.filter(F.size("vals") > 0)
+            .select("doc_id", "category", F.explode("vals").alias("entity")))
+
+
+@register(
+    "reconcile_entities",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id,
+             list_distinct(string_split(substr(text, 1,
+               CAST(ceil(length(text) / 2.0) AS INT)), ' ')) AS s
+      FROM documents),
+    b AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+      FROM documents),
+    ea AS (SELECT doc_id, unnest(s) AS w FROM a),
+    eb AS (SELECT doc_id, unnest(s) AS w FROM b),
+    common AS (
+      SELECT ea.doc_id, COUNT(*) AS n_common
+      FROM ea JOIN eb ON ea.doc_id = eb.doc_id AND ea.w = eb.w
+      GROUP BY ea.doc_id)
+    SELECT a.doc_id,
+           CAST(len(a.s) AS BIGINT) AS n_a,
+           CAST(len(b.s) AS BIGINT) AS n_b,
+           COALESCE(c.n_common, 0) AS n_common,
+           CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+             / greatest(CAST(len(b.s) AS BIGINT), 1) AS confidence
+    FROM a JOIN b ON a.doc_id = b.doc_id
+    LEFT JOIN common c ON c.doc_id = a.doc_id
+    """,
+)
+def reconcile_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 search-vs-analysis reconciliation (reference agents.py:743-877,
+    LLM-judged): deterministic replacement — overlap ratio between the
+    token sets of two independent 'analyses' (half-doc vs full-doc) via
+    explode + equi-join, confidence = |A∩B| / |B|."""
+    docs = tbl(spark, sf_dir, "documents")
+    a = docs.select("doc_id", F.array_distinct(F.split(F.expr(
+        "substring(text, 1, CAST(ceil(length(text) / 2.0) AS INT))"), " "))
+        .alias("s"))
+    b = docs.select("doc_id", F.array_distinct(F.split("text", " ")).alias("s"))
+    ea = a.select("doc_id", F.explode("s").alias("w"))
+    eb = b.select("doc_id", F.explode("s").alias("w"))
+    common = (ea.join(eb, ["doc_id", "w"])
+              .groupBy("doc_id").agg(F.count("*").alias("n_common")))
+    return (
+        a.select("doc_id", F.size("s").cast("bigint").alias("n_a"))
+        .join(b.select("doc_id", F.size("s").cast("bigint").alias("n_b")),
+              "doc_id")
+        .join(common, "doc_id", "left")
+        .select(
+            "doc_id", "n_a", "n_b",
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            (F.coalesce("n_common", F.lit(0)).cast("double")
+             / F.greatest(F.col("n_b"), F.lit(1))).alias("confidence"),
+        )
+    )
+
+
+@register(
+    "topn_summaries",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id, text,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents)
+    SELECT source,
+           string_agg(substr(text, 1, 80), ' | ' ORDER BY doc_id) AS fallback_summary,
+           COUNT(*) AS n_docs
+    FROM ranked WHERE rn <= 3 GROUP BY source
+    """,
+)
+def topn_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 top-N fallback summaries (reference agents.py:546,642: join first
+    3-5 summaries on failure): rank per group, ordered concat of the
+    first-80-char 'summaries'."""
+    docs = tbl(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.select("source", "doc_id",
+                    F.substring("text", 1, 80).alias("head"),
+                    F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .groupBy("source")
+        .agg(
+            F.expr("array_join(transform(array_sort(collect_list("
+                   "struct(doc_id, head))), x -> x.head), ' | ')")
+            .alias("fallback_summary"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+# --- kernel-backed queries (rows-only driver check; goldens in pytest) ----
+
+@register("lang_id", oracle=None)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID kernel (training-data op): stopword/CJK heuristic pandas
+    UDF, compared against the fixture's labeled lang column."""
+    docs = tbl(spark, sf_dir, "documents")
+
+    @F.pandas_udf(StringType())
+    def detect(texts: pd.Series) -> pd.Series:
+        from pdf_extract_spark.kernels.textstats import detect_language
+        return texts.map(lambda t: detect_language(t or ""))
+
+    return docs.select(
+        "doc_id", "lang",
+        detect(F.col("text")).alias("lang_pred"),
+    ).withColumn("correct", F.col("lang") == F.col("lang_pred"))
+
+
+@register("summarize_docs", oracle=None)
+def summarize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 map-side extractive summary (reference agents.py:152-169: ≤100
+    words per chunk) as an Arrow-batched pandas UDF."""
+    docs = tbl(spark, sf_dir, "documents")
+
+    @F.pandas_udf(StringType())
+    def summ(texts: pd.Series) -> pd.Series:
+        from pdf_extract_spark.kernels.summarize import summarize_extractive
+        return texts.map(lambda t: summarize_extractive(t or ""))
+
+    return docs.select("doc_id", summ(F.col("text")).alias("summary")) \
+               .withColumn("summary_words", F.size(F.split("summary", " ")))
+
+
+@register("fingerprint_docs", oracle=None)
+def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing-style sketch of word
+    5-shingles) — training-data dedup sketch, kernel-backed."""
+    docs = tbl(spark, sf_dir, "documents")
+
+    @F.pandas_udf(StringType())
+    def fp(texts: pd.Series) -> pd.Series:
+        from pdf_extract_spark.kernels.textstats import rolling_fingerprint
+        return texts.map(
+            lambda t: ",".join(f"{h:016x}" for h in rolling_fingerprint(t or "")))
+
+    return docs.select("doc_id", fp(F.col("text")).alias("fingerprint"))
+
+
+def _simhash_schema_rows(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from pdf_extract_spark.kernels.textstats import simhash64
+    for pdf in pdfs:
+        sh = pdf["text"].map(lambda t: simhash64(t or ""))
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "simhash": sh.map(lambda v: f"{v:016x}"),
+            # 4 bands of 16 bits for banded hamming candidate generation
+            "band0": sh.map(lambda v: (v >> 0) & 0xFFFF),
+            "band1": sh.map(lambda v: (v >> 16) & 0xFFFF),
+            "band2": sh.map(lambda v: (v >> 32) & 0xFFFF),
+            "band3": sh.map(lambda v: (v >> 48) & 0xFFFF),
+        })
+
+
+@register("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit simhash kernel → 4×16-bit bands → banded
+    equi-join candidates (Hamming ≤ 3 pairs must share ≥1 band) — the
+    standard Manku/Jain/Sarma web-dedup shape; no cross join."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    sig = docs.mapInPandas(
+        _simhash_schema_rows,
+        schema=("doc_id long, simhash string, band0 long, band1 long, "
+                "band2 long, band3 long"),
+    )
+    bands = None
+    for b in range(4):
+        part = sig.select("doc_id", "simhash", F.lit(b).alias("b"),
+                          F.col(f"band{b}").alias("band_key"))
+        bands = part if bands is None else bands.unionByName(part)
+    x, y = bands.alias("x"), bands.alias("y")
+    return (
+        x.join(y, (F.col("x.b") == F.col("y.b"))
+               & (F.col("x.band_key") == F.col("y.band_key"))
+               & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("a_id"),
+                F.col("y.doc_id").alias("b_id"),
+                F.col("x.simhash").alias("a_sim"),
+                F.col("y.simhash").alias("b_sim"))
+        .distinct()
+    )

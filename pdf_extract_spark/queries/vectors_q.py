@@ -1,0 +1,359 @@
+"""Vector search stack: brute-force k-NN (J1), multi-variant merge (J2),
+dedup-keep-best (W4), score gating (A4/P10), cosine ANN + IVF-style
+two-stage search — SURVEY.md §2.3/§2.8, reference /root/reference/modules/
+tools.py:155-277 (search_tool) and :115-134 (IVF index).
+
+The reference's FAISS index file is replaced by the embeddings DataFrame
+itself (SURVEY S3/S4): search is a broadcast theta-join — the tiny query
+side broadcasts, the big chunk/embedding side never shuffles for the scan,
+and per-query top-k is a row_number window. The IVF scale path keeps the
+same two-stage shape FAISS uses (coarse quantize → probe shortlist), as a
+centroid broadcast join + partition-pruned fine search.
+
+Float parity with the DuckDB oracle: every distance folds the arrays in
+element order with double accumulation (verified bit-exact vs DuckDB's
+ordered list_transform/list_sum; DuckDB's builtin list_distance is float32
+and is NOT used). Averages go through DECIMAL sums (order-insensitive).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from . import register, tbl
+
+N_QUERIES = 5
+K = 10
+
+# --- shared expression snippets (Spark SQL and DuckDB dialects) -----------
+
+def _spark_l2(a: str, b: str) -> str:
+    sq = (f"zip_with({a}, {b}, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+          f" * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))")
+    return f"sqrt(aggregate({sq}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+
+
+def _spark_dot(a: str, b: str) -> str:
+    pr = f"zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE))"
+    return f"aggregate({pr}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+
+
+def _duck_l2(a: str, b: str) -> str:
+    term = (f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+            f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))")
+    return (f"sqrt(list_sum(list_transform(range(1, len({b}) + 1),"
+            f" i -> {term})))")
+
+
+def _duck_dot(a: str, b: str) -> str:
+    return (f"list_sum(list_transform(range(1, len({b}) + 1),"
+            f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))")
+
+
+def _spark_norm(a: str) -> str:
+    return f"sqrt({_spark_dot(a, a)})"
+
+
+def _duck_norm(a: str) -> str:
+    return f"sqrt({_duck_dot(a, a)})"
+
+
+def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings")
+    return (emb.filter(F.col("vec_id") < N_QUERIES)
+            .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")))
+
+
+_DUCK_Q = f"(SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES})"
+
+
+@register(
+    "knn_topk",
+    oracle=f"""
+    WITH q AS {_DUCK_Q},
+    d AS (
+      SELECT q.qid, e.vec_id,
+             1.0 / (1.0 + {_duck_l2('q.qv', 'e.embedding')}) AS score
+      FROM q CROSS JOIN embeddings e),
+    r AS (
+      SELECT qid, vec_id, score,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC, vec_id) AS rn
+      FROM d)
+    SELECT qid, vec_id, score, rn FROM r WHERE rn <= {K}
+    """,
+)
+def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 brute-force k-NN (reference tools.py:184-188): broadcast the few
+    query vectors across the big embedding table, score = 1/(1+L2)
+    (tools.py:198), per-query top-k window. At 100 TB the embedding side
+    streams partition-parallel with zero shuffle; only the k·|q| winners
+    move."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    q = _queries_df(spark, sf_dir)
+    scored = (
+        F.broadcast(q).crossJoin(emb.select("vec_id", "embedding"))
+        .select("qid", "vec_id",
+                F.expr(f"1.0 / (1.0 + {_spark_l2('qv', 'embedding')})")
+                .alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= K))
+
+
+_VARIANTS_CTE = f"""
+    q AS {_DUCK_Q},
+    v1 AS (
+      SELECT q.qid, e.vec_id, 'l2' AS variant,
+             1.0 / (1.0 + {_duck_l2('q.qv', 'e.embedding')}) AS score
+      FROM q CROSS JOIN embeddings e),
+    v2 AS (
+      SELECT q.qid, e.vec_id, 'cosine' AS variant,
+             ({_duck_dot('q.qv', 'e.embedding')}
+              / ({_duck_norm('q.qv')} * {_duck_norm('e.embedding')})
+              + CAST(1.0 AS DOUBLE)) / CAST(2.0 AS DOUBLE) AS score
+      FROM q CROSS JOIN embeddings e),
+    u AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY score DESC, vec_id) AS rn
+        FROM v1) a WHERE rn <= 20
+      UNION ALL
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY score DESC, vec_id) AS rn
+        FROM v2) b WHERE rn <= 20)
+"""
+
+
+def _variant_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-variant top-20 hits: L2 scoring and cosine scoring as the two
+    'query formulations' (reference builds text variants, tools.py:279-297;
+    the merge semantics are what matters)."""
+    emb = tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = _queries_df(spark, sf_dir)
+    base = F.broadcast(q).crossJoin(emb)
+    v1 = base.select(
+        "qid", "vec_id", F.lit("l2").alias("variant"),
+        F.expr(f"1.0 / (1.0 + {_spark_l2('qv', 'embedding')})").alias("score"))
+    v2 = base.select(
+        "qid", "vec_id", F.lit("cosine").alias("variant"),
+        F.expr(
+            f"({_spark_dot('qv', 'embedding')}"
+            f" / ({_spark_norm('qv')} * {_spark_norm('embedding')})"
+            f" + CAST(1.0 AS DOUBLE)) / CAST(2.0 AS DOUBLE)"
+        ).alias("score"))
+    w = Window.partitionBy("qid", "variant").orderBy(F.desc("score"),
+                                                     F.asc("vec_id"))
+    return (v1.unionByName(v2)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 20))
+
+
+@register(
+    "variant_merge",
+    oracle=f"""
+    WITH {_VARIANTS_CTE}
+    SELECT qid, vec_id,
+           CASE WHEN COUNT(*) > 1
+                THEN least(MAX(score) * CAST(1.2 AS DOUBLE), CAST(1.0 AS DOUBLE))
+                ELSE MAX(score) END AS merged_score,
+           COUNT(*) AS n_variants,
+           string_agg(variant, ',' ORDER BY variant) AS query_types
+    FROM u GROUP BY qid, vec_id
+    """,
+)
+def variant_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 variant-hit merge (reference tools.py:208-229): union per-variant
+    results, repeat hits get max-score × 1.2 capped at 1.0, variant names
+    concatenated (sorted for determinism — the reference's dict-order
+    concat is not canonical)."""
+    hits = _variant_hits(spark, sf_dir)
+    return hits.groupBy("qid", "vec_id").agg(
+        F.expr("CASE WHEN COUNT(*) > 1"
+               " THEN least(MAX(score) * CAST(1.2 AS DOUBLE), CAST(1.0 AS DOUBLE))"
+               " ELSE MAX(score) END").alias("merged_score"),
+        F.count("*").alias("n_variants"),
+        F.array_join(F.array_sort(F.collect_list("variant")), ",")
+        .alias("query_types"),
+    )
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH q AS {_DUCK_Q},
+    d AS (
+      SELECT q.qid, e.vec_id,
+             1.0 / (1.0 + {_duck_l2('q.qv', 'e.embedding')}) AS score
+      FROM q CROSS JOIN embeddings e)
+    SELECT vec_id, qid AS best_qid, score AS best_score FROM (
+      SELECT qid, vec_id, score,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY score DESC, qid) AS rn
+      FROM d) t WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/U2 dedup-keep-best (reference agents.py:815-823: sort by score
+    desc, first occurrence per text wins) — row_number window per entity."""
+    emb = tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = _queries_df(spark, sf_dir)
+    scored = (
+        F.broadcast(q).crossJoin(emb)
+        .select("qid", "vec_id",
+                F.expr(f"1.0 / (1.0 + {_spark_l2('qv', 'embedding')})")
+                .alias("score"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("qid"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("qid").alias("best_qid"),
+                    F.col("score").alias("best_score")))
+
+
+@register(
+    "verify_gate",
+    oracle=f"""
+    WITH q AS {_DUCK_Q},
+    d AS (
+      SELECT q.qid, e.vec_id,
+             1.0 / (1.0 + {_duck_l2('q.qv', 'e.embedding')}) AS score
+      FROM q CROSS JOIN embeddings e),
+    topk AS (
+      SELECT qid, vec_id, score FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY score DESC, vec_id) AS rn
+        FROM d) t WHERE rn <= {K})
+    SELECT qid,
+           CAST(SUM(CAST(score AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS avg_score,
+           MAX(score) AS top_score,
+           (CAST(SUM(CAST(score AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*)) >= 0.3
+             AS verified,
+           MAX(score) < 0.3 AS needs_fallback
+    FROM topk GROUP BY qid
+    """,
+)
+def verify_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 mean-score + P10 threshold gates (reference agents.py:850-864,
+    tools.py:247): avg of top-k scores decides verified; top < 0.3 triggers
+    the fallback path. Exact avg via DECIMAL sum."""
+    topk = knn_topk(spark, sf_dir)
+    avg_exact = F.expr(
+        "CAST(SUM(CAST(score AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*)")
+    return topk.groupBy("qid").agg(
+        avg_exact.alias("avg_score"),
+        F.max("score").alias("top_score"),
+        (avg_exact >= 0.3).alias("verified"),
+        (F.max("score") < 0.3).alias("needs_fallback"),
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS {_DUCK_Q},
+    d AS (
+      SELECT q.qid, e.vec_id,
+             {_duck_dot('q.qv', 'e.embedding')}
+             / ({_duck_norm('q.qv')} * {_duck_norm('e.embedding')}) AS cos_sim
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id >= {N_QUERIES})
+    SELECT qid, vec_id, cos_sim, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM d) t WHERE rn <= {K}
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k — the ANN baseline over the embedding
+    column (build brief: similarity search). Norms computed as L2-to-zero
+    so the expression shape matches the oracle exactly."""
+    emb = (tbl(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") >= N_QUERIES)
+           .select("vec_id", "embedding"))
+    q = _queries_df(spark, sf_dir)
+    scored = F.broadcast(q).crossJoin(emb).select(
+        "qid", "vec_id",
+        F.expr(f"{_spark_dot('qv', 'embedding')}"
+               f" / ({_spark_norm('qv')} * {_spark_norm('embedding')})")
+        .alias("cos_sim"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= K))
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH comp AS (
+      SELECT label, i,
+             CAST(SUM(CAST(embedding[i] AS DECIMAL(18,12))) AS DOUBLE)
+               / COUNT(*) AS c
+      FROM embeddings
+      CROSS JOIN (SELECT CAST(range AS INT) AS i FROM range(1, 65)) t
+      GROUP BY label, i),
+    centroids AS (
+      SELECT label, list(c ORDER BY i) AS cv FROM comp GROUP BY label),
+    q AS {_DUCK_Q},
+    probes AS (
+      SELECT qid, label FROM (
+        SELECT q.qid, c.label,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                 ORDER BY {_duck_l2('q.qv', 'c.cv')}, c.label) AS pr
+        FROM q CROSS JOIN centroids c) t WHERE pr <= 2),
+    fine AS (
+      SELECT q.qid, e.vec_id,
+             1.0 / (1.0 + {_duck_l2('q.qv', 'e.embedding')}) AS score
+      FROM q
+      JOIN probes p ON p.qid = q.qid
+      JOIN embeddings e ON e.label = p.label)
+    SELECT qid, vec_id, score, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY score DESC, vec_id) AS rn
+      FROM fine) t WHERE rn <= {K}
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style two-stage ANN (reference tools.py:115-129 builds
+    IndexIVFFlat, nlist=min(100,n), nprobe search): coarse centroids =
+    per-label exact means (DECIMAL component sums), probe the 2 nearest
+    lists, fine L2 top-k inside probed lists only.
+
+    Scale shape: centroids are tiny → broadcast; the fine search touches
+    only probed partitions (label = partition key of a bucketed embedding
+    table), i.e. partition pruning does what FAISS's inverted lists do."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    # exact per-component means, element order restored via sorted structs
+    comp = (
+        emb.select("label",
+                   F.posexplode("embedding").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.expr("CAST(SUM(CAST(x AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*)")
+             .alias("c"))
+    )
+    centroids = comp.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)")
+        .alias("cv"))
+    q = _queries_df(spark, sf_dir)
+    wpr = Window.partitionBy("qid").orderBy(F.col("cdist").asc(),
+                                            F.col("label").asc())
+    probes = (
+        F.broadcast(q).crossJoin(F.broadcast(centroids))
+        .select("qid", "label", F.expr(_spark_l2("qv", "cv")).alias("cdist"))
+        .withColumn("pr", F.row_number().over(wpr))
+        .filter(F.col("pr") <= 2)
+        .select("qid", "label")
+    )
+    fine = (
+        F.broadcast(q.join(probes, "qid"))
+        .join(emb.select("vec_id", "label", "embedding"), "label")
+        .select("qid", "vec_id",
+                F.expr(f"1.0 / (1.0 + {_spark_l2('qv', 'embedding')})")
+                .alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (fine.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= K))

@@ -1,0 +1,60 @@
+"""Oracle-parity smoke: representative queries() entries vs their DuckDB
+oracle_sql() at sf0.001 — the same comparison the driver runs at sf0.01
+(tools/check_oracles.py is the full sweep)."""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from tools.check_oracles import TABLES, rows_to_multiset  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# one per operator family: agg, join+topk, window, chunk stack, vector,
+# dedup, text, flagship
+SMOKE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "window_top_orders_per_customer",
+    "page_concat_digest",
+    "adaptive_topk",
+    "knn_topk",
+    "dedup_minhash_lsh",
+    "entity_extract",
+    "extract_roundtrip",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from pdf_extract_spark.queries import load_all
+    return load_all()
+
+
+@pytest.mark.parametrize("name", SMOKE)
+def test_oracle_parity(spark, duck, registry, name):
+    q = registry[name]
+    df = q.fn(spark, SF_DIR)
+    sp_cols = df.columns
+    sp_rows = [tuple(r) for r in df.collect()]
+    res = duck.execute(q.oracle)
+    du_cols = [d[0] for d in res.description]
+    du_rows = res.fetchall()
+    assert sorted(sp_cols) == sorted(du_cols)
+    assert len(sp_rows) == len(du_rows)
+    assert rows_to_multiset(sp_rows, sp_cols) == rows_to_multiset(du_rows, du_cols)
