@@ -84,17 +84,18 @@ def rolling_fingerprint(text: str, k: int = 5, n_mins: int = 8) -> list[int]:
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens using FNV-1a."""
-    acc = [0] * 64
-    for tok in text.lower().split():
-        h = fnv1a64(tok.encode("utf-8"))
-        for b in range(64):
-            acc[b] += 1 if (h >> b) & 1 else -1
-    out = 0
-    for b in range(64):
-        if acc[b] > 0:
-            out |= 1 << b
-    return out
+    """64-bit SimHash over whitespace tokens using FNV-1a; the per-bit
+    ±1 accumulation is numpy-vectorized (token count × 64 bit ops)."""
+    toks = text.lower().split()
+    if not toks:
+        return 0
+    import numpy as np
+
+    hs = np.array([fnv1a64(t.encode("utf-8")) for t in toks], dtype=np.uint64)
+    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    out_bits = np.nonzero(acc > 0)[0]
+    return int(sum(1 << int(b) for b in out_bits))
 
 
 def hamming64(a: int, b: int) -> int:

@@ -28,6 +28,11 @@ from . import register, tbl
 
 N_PERM = 8
 N_BANDS = 4  # 2 rows per band
+# LSH buckets larger than this are degenerate (boilerplate-grade shingle
+# minima — here an artifact of the fixtures' tiny vocabulary, at web scale
+# an artifact of boilerplate): standard practice is to discard them rather
+# than emit O(bucket²) candidate pairs.
+MAX_BUCKET = 64
 
 # --- augmented corpus (planted near-dups), shared Spark + DuckDB ----------
 
@@ -53,7 +58,11 @@ def _aug_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    " ELSE text END").alias("text"),
         )
     )
-    return docs.unionByName(perturbed)
+    # The fixture table is one parquet file → one scan partition; fan the
+    # corpus out across the cluster before the (expensive) shingle work.
+    # The repartition exchange is also reused across the self-join subtrees.
+    return docs.unionByName(perturbed).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id")
 
 
 @register(
@@ -116,10 +125,15 @@ _SPARK_MH = ", ".join(
       SELECT doc_id, b, mh[2 * b + 1] || mh[2 * b + 2] AS band_key
       FROM sig CROSS JOIN
         (SELECT CAST(range AS INT) AS b FROM range(0, {N_BANDS})) t),
+    bands_g AS (
+      SELECT doc_id, b, band_key,
+             COUNT(*) OVER (PARTITION BY b, band_key) AS bucket_n
+      FROM bands),
     cand AS (
       SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-      FROM bands x JOIN bands y
-        ON x.b = y.b AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+      FROM bands_g x JOIN bands_g y
+        ON x.b = y.b AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+      WHERE x.bucket_n <= {MAX_BUCKET}),
     ex AS (SELECT doc_id, unnest(shingles) AS s FROM sig),
     sizes AS (SELECT doc_id, len(shingles) AS n FROM sig),
     common AS (
@@ -145,10 +159,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle restricted to candidates — no cross join anywhere; this is the
     standard web-scale near-dup shape (Broder minhashing)."""
     aug = _aug_docs(spark, sf_dir)
-    sh = (aug.withColumn("w", F.split("text", " "))
-          .select("doc_id", F.expr(_spark_shingles(3)).alias("shingles")))
-    sig = (sh.filter(F.size("shingles") > 0)
-           .select("doc_id", "shingles", F.expr(f"array({_SPARK_MH})").alias("mh")))
+    # filter on word count, NOT size(shingles) > 0: the latter is pushed into
+    # the scan filter where Catalyst inlines the whole shingle transform
+    # (recomputing split(text) per element) — equivalent predicate, ~10× cheaper
+    # persist: the signature table is referenced by 5 downstream subtrees
+    # (bands, candidate verify a/b, sizes a/b) — without materialization
+    # Catalyst recomputes the 8×sha256-per-shingle work per subtree. In the
+    # real pipeline this is a written table (the sketch index), same idea.
+    sig = (aug.withColumn("w", F.split("text", " "))
+           .filter(F.size("w") >= 3)
+           .select("doc_id", F.expr(_spark_shingles(3)).alias("shingles"))
+           .select("doc_id", "shingles", F.expr(f"array({_SPARK_MH})").alias("mh"))
+           .persist())
     bands = sig.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("b"),
@@ -158,14 +180,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("concat(element_at(mh, 2 * b + 1), element_at(mh, 2 * b + 2))")
         .alias("band_key"),
     )
-    x, y = bands.alias("x"), bands.alias("y")
-    cand = (
-        x.join(y, (F.col("x.b") == F.col("y.b"))
-               & (F.col("x.band_key") == F.col("y.band_key"))
-               & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
-        .distinct()
+    # Candidate generation by bucket groupBy + in-array pair expansion (not a
+    # band self-join): one shuffle on the band key, oversized buckets dropped
+    # (MAX_BUCKET) before the O(bucket²) pair blow-up can happen.
+    buckets = (bands.groupBy("b", "band_key")
+               .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+               .filter((F.size("ids") >= 2) & (F.size("ids") <= MAX_BUCKET)))
+    pair_expr = (
+        "flatten(transform(sequence(1, size(ids) - 1), i -> "
+        "transform(slice(ids, i + 1, size(ids) - i), "
+        "y -> struct(element_at(ids, i) AS a_id, y AS b_id))))"
     )
+    cand = (buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+            .select("p.a_id", "p.b_id")
+            .distinct())
     ex = sig.select("doc_id", F.explode("shingles").alias("s"))
     sizes = sig.select("doc_id", F.size("shingles").cast("bigint").alias("n"))
     common = (
@@ -214,9 +242,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join stays near-linear — the no-minhash variant for corpora where
     shingle frequency is low."""
     aug = _aug_docs(spark, sf_dir)
+    # word-count filter instead of size(shingles) > 0 — see dedup_minhash_lsh
     sig = (aug.withColumn("w", F.split("text", " "))
+           .filter(F.size("w") >= 4)
            .select("doc_id", F.expr(_spark_shingles(4)).alias("shingles"))
-           .filter(F.size("shingles") > 0))
+           .persist())  # 3 downstream subtrees — see dedup_minhash_lsh
     ex = sig.select("doc_id", F.explode("shingles").alias("s"))
     sizes = sig.select("doc_id", F.size("shingles").cast("bigint").alias("n"))
     ea, eb = ex.alias("ea"), ex.alias("eb")

@@ -1,0 +1,87 @@
+"""Structured Streaming tests: exactly-once incremental extraction across
+restarts (checkpoint) and watermarked windowed rollup via availableNow."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pdf_extract_spark.fixtures.pages import PAGES_SCHEMA, make_rows
+from pdf_extract_spark.streaming.ingest import (
+    run_incremental,
+    stream_event_rollup,
+)
+
+
+def _land_pages(spark, input_dir: str, n: int, start: int, tag: str) -> None:
+    # append: new part files land in the watched directory (the file stream
+    # source does not recurse into subdirectories)
+    df = spark.createDataFrame(make_rows(n, start=start), PAGES_SCHEMA)
+    df.coalesce(2).write.mode("append").parquet(input_dir)
+
+
+def test_incremental_extract_exactly_once(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("stream"))
+    input_dir = os.path.join(base, "in")
+    output_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(input_dir)
+
+    _land_pages(spark, input_dir, 60, 0, "batch1")
+    n1 = run_incremental(spark, input_dir, output_dir, ckpt)
+    assert n1 == 60
+
+    # second drain with nothing new: no reprocessing
+    assert run_incremental(spark, input_dir, output_dir, ckpt) == 60
+
+    # new files land → only the delta is processed, totals are exact
+    _land_pages(spark, input_dir, 40, 60, "batch2")
+    n2 = run_incremental(spark, input_dir, output_dir, ckpt)
+    assert n2 == 100
+
+    out = spark.read.parquet(output_dir)
+    assert out.count() == out.select("url").distinct().count() == 100
+
+
+def test_stream_matches_batch_extraction(spark, tmp_path_factory):
+    from pdf_extract_spark.operators.extract import extract_text
+
+    base = str(tmp_path_factory.mktemp("stream_eq"))
+    input_dir = os.path.join(base, "in")
+    os.makedirs(input_dir)
+    _land_pages(spark, input_dir, 50, 0, "b1")
+
+    run_incremental(spark, input_dir, os.path.join(base, "out"),
+                    os.path.join(base, "ckpt"))
+    streamed = {r["url"]: r["text_sha256"] for r in
+                spark.read.parquet(os.path.join(base, "out")).collect()}
+    batch = {r["url"]: r["text_sha256"] for r in
+             extract_text(spark.read.parquet(input_dir)).collect()}
+    assert streamed == batch
+
+
+def test_watermarked_rollup(spark, tmp_path_factory):
+    import datetime as dt
+
+    base = str(tmp_path_factory.mktemp("stream_ev"))
+    input_dir = os.path.join(base, "in")
+    os.makedirs(input_dir)
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(i, t0 + dt.timedelta(minutes=7 * i), i % 5,
+             ["view", "click"][i % 2], float(i), '{"k": 1}')
+            for i in range(100)]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+
+    q, table = stream_event_rollup(spark, input_dir,
+                                   os.path.join(base, "ckpt"))
+    q.awaitTermination()
+    res = spark.table(table).collect()
+    assert res
+    # 100 events over ~11.6h → every hour×type bucket sums to the batch truth
+    total = sum(r["n_events"] for r in res)
+    assert total == 100
+    assert {r["event_type"] for r in res} == {"view", "click"}
