@@ -28,9 +28,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "300000"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 LOW_CPUS = max(CPUS // 4, 1)
+REPO = os.path.dirname(os.path.abspath(__file__))
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
@@ -74,23 +75,21 @@ def _materialize_pages(n: int) -> str:
     return path
 
 
-def _extraction_run(pages_path: str, cpus: int, tag: str) -> dict:
-    from pdf_extract_spark.plans.pipeline import run_extraction
-    from pdf_extract_spark.session import get_spark
+def _extraction_run(pages_path: str, cpus: int, tag: str,
+                    pin: bool = False) -> dict:
+    """One measurement in a FRESH pinned process (tools/scale_run.py):
+    fresh JVM avoids cross-run heap/cache contamination; taskset pinning
+    makes local[N] mean N cores (an unpinned low run borrows idle cores
+    for JVM-side work and inflates the baseline)."""
+    import subprocess
     out = f"/tmp/bench_out_{tag}"
     shutil.rmtree(out, ignore_errors=True)
-    spark = get_spark(master=f"local[{cpus}]", app_name=f"bench-extract-{tag}",
-                      shuffle_partitions=cpus)
-    try:
-        pages = spark.read.parquet(pages_path)
-        t0 = time.monotonic()
-        stats = run_extraction(spark, pages, out, run_id=f"bench-{tag}",
-                               num_partitions=cpus)
-        wall = time.monotonic() - t0
-    finally:
-        spark.stop()
-    return {"cpus": cpus, "docs": stats["n_in"], "wall_s": round(wall, 2),
-            "docs_per_s": round(stats["n_in"] / wall, 1)}
+    cmd = ["taskset", "-c", f"0-{cpus - 1}"] if pin else []
+    cmd += [sys.executable, os.path.join(REPO, "tools", "scale_run.py"),
+            "--pages", pages_path, "--cpus", str(cpus), "--out", out]
+    res = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    line = [ln for ln in res.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
 
 
 def _query_runs() -> dict:
@@ -116,16 +115,26 @@ def main() -> None:
     high = _extraction_run(pages_path, CPUS, f"hi{CPUS}")
     scaling = {}
     if DO_SCALING and LOW_CPUS < CPUS:
-        low = _extraction_run(pages_path, LOW_CPUS, f"lo{LOW_CPUS}")
-        factor = CPUS / LOW_CPUS
-        scaling = {
-            "cpus_low": LOW_CPUS, "cpus_high": CPUS,
-            "docs_per_s_low": low["docs_per_s"],
-            "docs_per_s_high": high["docs_per_s"],
-            "factor": factor,
-            "efficiency": round(
-                high["docs_per_s"] / (factor * low["docs_per_s"]), 3),
-        }
+        def pair(lo: dict, hi: dict) -> dict:
+            factor = hi["cpus"] / lo["cpus"]
+            return {
+                "cpus_low": lo["cpus"], "cpus_high": hi["cpus"],
+                "docs_per_s_low": lo["docs_per_s"],
+                "docs_per_s_high": hi["docs_per_s"],
+                "efficiency": round(
+                    hi["docs_per_s"] / (factor * lo["docs_per_s"]), 3),
+            }
+        mid = _extraction_run(pages_path, LOW_CPUS, f"lo{LOW_CPUS}", pin=True)
+        scaling = {"pair_shared_box": pair(mid, high)}
+        low2 = max(CPUS // 16, 1)
+        if low2 < LOW_CPUS:
+            tiny = _extraction_run(pages_path, low2, f"lo{low2}", pin=True)
+            # executor proxy: both sizes pinned, machine unsaturated — each
+            # "cluster size" gets dedicated cores (see BENCH.md methodology)
+            scaling["pair_executor_proxy"] = pair(tiny, mid)
+        scaling["note"] = ("pair_shared_box is memory-bandwidth-bound on one "
+                          "box; pair_executor_proxy is the N->4N executor "
+                          "analog — controls in BENCH.md")
 
     queries = _query_runs()
     total = round(sum(queries.values()) + high["wall_s"], 3)

@@ -32,13 +32,18 @@ def salted_repartition(df: DataFrame, num_partitions: int,
                        big_bytes: int = BIG_PAYLOAD_BYTES) -> DataFrame:
     """Two-class partitioning: heavy rows round-robin (exact byte balance of
     the long tail), light rows by url-hash (uniform, deterministic co-location
-    for downstream per-url ops). Union is narrow — no extra shuffle."""
+    for downstream per-url ops). Union is narrow — no extra shuffle.
+
+    Hash directly on `url` — NOT on a precomputed pmod(xxhash64(url), n)
+    bucket id: repartition hashes its expression again, and re-hashing n
+    distinct bucket ids into n partitions is a balls-in-bins throw (~1/e of
+    the partitions empty, others 2-3 buckets) — a 3× straggler skew that
+    halves scaling efficiency."""
     n_bytes = F.coalesce(F.length(F.col("html")), F.lit(0))
     big = (df.filter(n_bytes > big_bytes)
              .repartition(num_partitions))  # round-robin spread of heavy rows
     small = (df.filter(n_bytes <= big_bytes)
-               .repartition(num_partitions, F.pmod(F.xxhash64("url"),
-                                                   F.lit(num_partitions))))
+               .repartition(num_partitions, F.col("url")))
     return small.unionByName(big)
 
 
@@ -49,7 +54,14 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         texts, shas, errors, sizes = [], [], [], []
         for payload in pdf["html"]:
-            raw = bytes(payload) if payload is not None else b""
+            # Arrow hands binary columns over as bytes already — avoid a
+            # per-row copy of the (potentially large) payload
+            if payload is None:
+                raw = b""
+            elif isinstance(payload, bytes):
+                raw = payload
+            else:
+                raw = bytes(payload)
             text, err = decode_payload(raw)
             texts.append(text)
             shas.append(text_sha256(text) if text is not None else None)

@@ -1,0 +1,90 @@
+"""Chunk-embedding index: the table IS the index (SURVEY.md S3/S4/S5).
+
+The reference materializes a FAISS IVF file plus a chunks JSON side-file
+mid-pipeline and passes their *paths* through state
+(/root/reference/modules/tools.py:115-140) — a dual-file consistency
+hazard. Here both become ONE partitioned parquet table
+(url, chunk_idx, chunk, embedding) written once and queried relationally;
+k-NN search over it is the broadcast theta-join of queries/vectors_q.
+
+Scale path: bucket the table by embedding coarse-cluster (IVF analog,
+vectors_q.ann_ivf_topk) or LSH band so search probes a partition subset.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+INDEX_SCHEMA = ("url string, chunk_idx int, chunk string, "
+                "embedding array<float>")
+
+
+def _chunk_embed_batches(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..kernels.chunker import split_text
+    from ..kernels.embed import embed_batch
+
+    for pdf in pdfs:
+        urls, idxs, chunks = [], [], []
+        for url, text in zip(pdf["url"], pdf["text"]):
+            cs = split_text(text or "", chunk_size=2000, chunk_overlap=200)
+            for i, c in enumerate(cs):
+                urls.append(url)
+                idxs.append(i)
+                chunks.append(c)
+        if not urls:
+            continue  # empty pandas frames infer float64 cols → Arrow cast error
+        vecs = embed_batch(chunks)
+        yield pd.DataFrame({
+            "url": urls, "chunk_idx": idxs, "chunk": chunks,
+            "embedding": [v.tolist() for v in vecs],
+        })
+
+
+def build_index(extracted: DataFrame) -> DataFrame:
+    """(url, text) → chunk-embedding table. V1 splitter + V3 hash embed in
+    one narrow Arrow pass (reference chunk_and_embed, tools.py:52-152)."""
+    return (extracted.select("url", "text")
+            .mapInPandas(_chunk_embed_batches, schema=INDEX_SCHEMA))
+
+
+def write_index(extracted: DataFrame, out_dir: str) -> str:
+    path = os.path.join(out_dir, "chunk_index")
+    build_index(extracted).write.mode("overwrite").parquet(path)
+    return path
+
+
+def search_index(spark: SparkSession, index_path: str, query_text: str,
+                 k: int = 5) -> DataFrame:
+    """k-NN over the persisted index (reference search_tool,
+    tools.py:155-277): embed the query driver-side, broadcast it, score
+    1/(1+L2) per chunk, over-fetch broad_k = min(max(4k,15), n) then
+    adaptive-cut (tools.py:186,369-391)."""
+    from ..kernels.embed import embed_text
+
+    qv = [float(x) for x in embed_text(query_text)]
+    idx = spark.read.parquet(index_path)
+    qdf = spark.createDataFrame([(qv,)], "qv array<float>")
+    l2 = ("sqrt(aggregate(zip_with(qv, embedding, (x, y) -> "
+          "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+          "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+          "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))")
+    scored = (idx.crossJoin(F.broadcast(qdf))
+              .select("url", "chunk_idx", "chunk",
+                      F.expr(f"1.0 / (1.0 + {l2})").alias("score")))
+    broad_k = max(4 * k, 15)
+    w = Window.orderBy(F.desc("score"), F.asc("url"), F.asc("chunk_idx"))
+    broad = (scored.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= broad_k))
+    # adaptive cut: keep ≥60% of top score, clamp to [max(k//2,2), 2k]
+    top = broad.agg(F.max("score").alias("t"))
+    kept = (broad.crossJoin(F.broadcast(top))
+            .filter((F.col("score") >= 0.6 * F.col("t"))
+                    | (F.col("rn") <= max(k // 2, 2)))
+            .filter(F.col("rn") <= 2 * k)
+            .drop("t"))
+    return kept

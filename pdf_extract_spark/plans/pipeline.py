@@ -1,13 +1,27 @@
 """End-to-end extraction job: scan → salted repartition → extract →
-partitioned write + per-partition lineage + quarantine, checkpoint-resumable.
+single partitioned write + per-partition lineage, checkpoint-resumable.
 
 North-rule mechanics (BASELINE.json:14): per-partition lineage rows
 (partition id, counts, checksum) and resume via left-anti join of the input
 against already-committed urls — re-running after a partial failure never
 duplicates output and converges to the identical final table digest
-(SURVEY.md §2.4 A8, §7.1 M6). Iceberg would make data+lineage a single
-transaction; on the parquet fallback the resume key is the *data* table
-itself, so a crash between data and lineage writes still cannot duplicate.
+(SURVEY.md §2.4 A8, §7.1 M6).
+
+Single-pass layout (one decode pass, one data write — no persist, no
+second full-table action):
+
+    <out>/extracted/status={ok,err}/...   rows carry run_id + partition_id
+    <out>/lineage/                        one row per task partition per run
+
+ok/err are directory partitions of ONE write (Catalyst routes rows by the
+status column), so the quarantine table (reference error_final analog,
+/root/reference/modules/graphs.py:22-30) is a partition filter, not a
+second job. Lineage is derived from a column-pruned re-read of the rows
+just written (3 thin columns), and run counters come from the lineage
+table itself — the full extracted text is scanned exactly once and
+written exactly once. Iceberg would make data+lineage one transaction; on
+the parquet fallback the resume key is the data table itself, so a crash
+between the two writes cannot duplicate rows.
 """
 
 from __future__ import annotations
@@ -16,7 +30,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.extract import extract_text, extracted_ok, quarantine
+from ..operators.extract import extract_text
 
 LINEAGE_SCHEMA = ("run_id string, partition_id int, n_in long, n_out long, "
                   "n_err long, digest string")
@@ -24,22 +38,10 @@ LINEAGE_SCHEMA = ("run_id string, partition_id int, n_in long, n_out long, "
 
 def _read_urls(spark: SparkSession, d: str) -> DataFrame | None:
     try:
-        if not any(f.endswith(".parquet") for f in os.listdir(d)):
-            return None
-        return spark.read.parquet(d).select("url")
+        df = spark.read.parquet(d)
+        return df.select("url")
     except Exception:
         return None
-
-
-def _existing_urls(spark: SparkSession, data_dir: str,
-                   quarantine_dir: str) -> DataFrame | None:
-    """Committed = extracted OR quarantined — error rows are terminal too,
-    otherwise every resume would re-decode the whole quarantine tail."""
-    done = _read_urls(spark, data_dir)
-    quar = _read_urls(spark, quarantine_dir)
-    if done is None:
-        return quar
-    return done if quar is None else done.unionByName(quar)
 
 
 def lineage_rows(extracted: DataFrame, run_id: str) -> DataFrame:
@@ -69,11 +71,10 @@ def run_extraction(
     num_partitions: int = 32,
 ) -> dict:
     """Run (or resume) the extraction job. Returns counters for the run."""
-    data_dir = os.path.join(out_dir, "data")
+    extracted_dir = os.path.join(out_dir, "extracted")
     lineage_dir = os.path.join(out_dir, "lineage")
-    quarantine_dir = os.path.join(out_dir, "quarantine")
 
-    done = _existing_urls(spark, data_dir, quarantine_dir)
+    done = _read_urls(spark, extracted_dir)
     todo = pages
     if done is not None:
         # Snapshot the committed-url set to a staging dir: the extraction plan
@@ -84,26 +85,50 @@ def run_extraction(
         done.write.mode("overwrite").parquet(snap_dir)
         todo = pages.join(spark.read.parquet(snap_dir), "url", "left_anti")
 
-    ext = (extract_text(todo, num_partitions=num_partitions)
-           .withColumn("partition_id", F.spark_partition_id())
-           .persist())
-    try:
-        ok = extracted_ok(ext).drop("partition_id")
-        ok.write.mode("append").parquet(data_dir)
-        lineage_rows(ext, run_id).write.mode("append").parquet(lineage_dir)
-        (quarantine(ext.drop("partition_id"))
-            .write.mode("append").parquet(quarantine_dir))
-        n_in = ext.count()
-        n_err = ext.filter(F.col("error").isNotNull()).count()
-    finally:
-        ext.unpersist()
-    return {"run_id": run_id, "n_in": n_in, "n_ok": n_in - n_err, "n_err": n_err}
+    ext = (
+        extract_text(todo, num_partitions=num_partitions)
+        .withColumn("partition_id", F.spark_partition_id())
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("status",
+                    F.when(F.col("error").isNull(), "ok").otherwise("err"))
+    )
+    # run_id is a directory partition too: the lineage re-read below and any
+    # later per-run audit prune straight to this run's files
+    ext.write.partitionBy("run_id", "status").mode("append").parquet(extracted_dir)
+
+    # lineage from a column-pruned re-read of what was just committed
+    staged = (spark.read.parquet(extracted_dir)
+              .filter(F.col("run_id") == run_id)
+              .select("partition_id", "text_sha256", "error"))
+    lineage_rows(staged, run_id).write.mode("append").parquet(lineage_dir)
+
+    row = (spark.read.parquet(lineage_dir)
+           .filter(F.col("run_id") == run_id)
+           .agg(F.coalesce(F.sum("n_in"), F.lit(0)).alias("n_in"),
+                F.coalesce(F.sum("n_err"), F.lit(0)).alias("n_err"))
+           .collect()[0])
+    n_in, n_err = int(row["n_in"]), int(row["n_err"])
+    return {"run_id": run_id, "n_in": n_in, "n_ok": n_in - n_err,
+            "n_err": n_err}
+
+
+def extracted_ok(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The clean extracted table (partition-pruned scan of status=ok)."""
+    return (spark.read.parquet(os.path.join(out_dir, "extracted"))
+            .filter(F.col("status") == "ok"))
+
+
+def quarantine(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Quarantine rows: (url, stage, error) — a partition filter."""
+    return (spark.read.parquet(os.path.join(out_dir, "extracted"))
+            .filter(F.col("status") == "err")
+            .select("url", F.lit("extract").alias("stage"), "error"))
 
 
 def final_digest(spark: SparkSession, out_dir: str) -> str:
-    """Order-insensitive digest of the whole output table (for resume tests)."""
-    df = spark.read.parquet(os.path.join(out_dir, "data"))
-    row = df.agg(F.sha2(F.concat_ws("", F.array_sort(
-        F.collect_list(F.concat_ws("|", "url", "text_sha256")))), 256)
+    """Order-insensitive digest of the clean output table (resume tests)."""
+    row = extracted_ok(spark, out_dir).agg(
+        F.sha2(F.concat_ws("", F.array_sort(
+            F.collect_list(F.concat_ws("|", "url", "text_sha256")))), 256)
         .alias("d")).collect()[0]
     return row["d"]

@@ -362,3 +362,87 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("y.simhash").alias("b_sim"))
         .distinct()
     )
+
+
+@register(
+    "report_projection",
+    oracle="""
+    SELECT doc_id,
+           to_json(struct_pack(
+             doc_id := doc_id, lang := lang,
+             token_est := CAST(floor(length(text) / 3) AS BIGINT),
+             head := substr(text, 1, 40))) AS report
+    FROM documents
+    """,
+)
+def report_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 report serialization (reference FinalOutput.model_dump_json,
+    agents.py:938-969): to_json over an explicit struct — field order and
+    formatting verified byte-identical against DuckDB's serializer."""
+    docs = tbl(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.to_json(F.struct(
+            F.col("doc_id"), F.col("lang"),
+            F.floor(F.length("text") / 3).cast("bigint").alias("token_est"),
+            F.substring("text", 1, 40).alias("head"),
+        )).alias("report"),
+    )
+
+
+@register(
+    "json_fence_repair",
+    oracle="""
+    WITH fenced AS (
+      SELECT event_id,
+             '```json' || chr(10) || props || chr(10) || '```' AS raw
+      FROM events),
+    stripped AS (
+      SELECT event_id,
+             replace(replace(raw, '```json' || chr(10), ''),
+                     chr(10) || '```', '') AS content
+      FROM fenced)
+    SELECT event_id,
+           length(content) >= 10 AND content LIKE '{%' AS plausible,
+           COALESCE(CAST(json_extract_string(content, '$.k') AS BIGINT), -1)
+             AS k
+    FROM stripped
+    """,
+)
+def json_fence_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 markdown-fence strip + P8 JSON-plausibility + F8 schema repair
+    (reference agents.py:309-351): wrap each props payload in ```json
+    fences (simulating LLM output), strip, gate on plausibility, parse
+    with null-backfill (missing key → -1)."""
+    ev = tbl(spark, sf_dir, "events")
+    fenced = ev.select(
+        "event_id",
+        F.concat(F.lit("```json\n"), F.col("props"), F.lit("\n```"))
+        .alias("raw"))
+    stripped = fenced.select(
+        "event_id",
+        F.replace(F.replace("raw", F.lit("```json\n"), F.lit("")),
+                  F.lit("\n```"), F.lit("")).alias("content"))
+    return stripped.select(
+        "event_id",
+        ((F.length("content") >= 10) & F.col("content").like("{%"))
+        .alias("plausible"),
+        F.coalesce(F.get_json_object("content", "$.k").cast("bigint"),
+                   F.lit(-1)).alias("k"),
+    )
+
+
+@register("analyze_docs", oracle=None)
+def analyze_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full M5 analysis kernel pipeline over the documents table (chunk →
+    summarize → NER → verify), rows-only check; goldens in
+    tests/test_analyze.py."""
+    from ..plans.analyze import analyze_extracted
+
+    docs = (tbl(spark, sf_dir, "documents")
+            .select(F.col("doc_id").cast("string").alias("url"),
+                    "lang", "text"))
+    out = analyze_extracted(docs)
+    return out.select(F.col("url").cast("bigint").alias("doc_id"),
+                      "summary", "n_entities", "n_chunks",
+                      "confidence", "verified")

@@ -19,7 +19,11 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 def get_spark(master: str | None = None,
               app_name: str = "pdf-extract-spark",
               shuffle_partitions: int | None = None,
-              arrow_batch: int = 256) -> SparkSession:
+              arrow_batch: int = 4096) -> SparkSession:
+    # arrow_batch sizing: target ~10-30 MB per Arrow batch so per-batch
+    # fixed costs (pandas block build, IPC framing) amortize. 4096 rows of
+    # ~3 KB sandbox pages ≈ 12 MB; for ~60 KB real Common-Crawl pages set
+    # SPARK_GRAFT env / pass ~512.
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
@@ -37,6 +41,20 @@ def get_spark(master: str | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Input-split sizing: default 128 MB splits + 4 MB open-cost starve a
+        # 32-core box of parallelism on the small sandbox fixtures (a 60 MB
+        # table becomes 2 splits). At 100 TB the cluster default is right;
+        # here we size splits so the scan saturates the cores.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"))
+        .config("spark.sql.files.openCostInBytes", str(256 * 1024))
+        # Output path: task-side commit (v1 renames every file serially on
+        # the driver — seconds per job at 100s of files), and no parquet
+        # dictionary pages (the dominant column is unique document text;
+        # dictionary encoding burns CPU for zero compression there).
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+                "2")
+        .config("spark.hadoop.parquet.enable.dictionary", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

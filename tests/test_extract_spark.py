@@ -13,7 +13,12 @@ import pytest
 from pdf_extract_spark.fixtures import pages
 from pdf_extract_spark.kernels.decode import decode_payload, text_sha256
 from pdf_extract_spark.operators.extract import extract_text
-from pdf_extract_spark.plans.pipeline import final_digest, run_extraction
+from pdf_extract_spark.plans.pipeline import (
+    extracted_ok,
+    final_digest,
+    quarantine,
+    run_extraction,
+)
 
 N_PAGES = 400
 
@@ -79,7 +84,7 @@ def test_resume_no_duplicates(spark, tmp_path_factory, golden):
     out_b = f"{base}/b"
     run_extraction(spark, full, out_b, run_id="scratch", num_partitions=4)
 
-    df_a = spark.read.parquet(f"{out_a}/data")
+    df_a = extracted_ok(spark, out_a)
     assert df_a.count() == df_a.select("url").distinct().count()
     assert final_digest(spark, out_a) == final_digest(spark, out_b)
 
@@ -87,9 +92,8 @@ def test_resume_no_duplicates(spark, tmp_path_factory, golden):
     rows = lineage.groupBy().sum("n_in", "n_err").collect()[0]
     assert rows["sum(n_in)"] == N_PAGES  # 250 in r1 + 150 in r2, no overlap
 
-    quarantine = spark.read.parquet(f"{out_a}/quarantine")
     n_golden_err = sum(1 for _, e in golden.values() if e)
-    assert quarantine.count() == n_golden_err
+    assert quarantine(spark, out_a).count() == n_golden_err
 
     shutil.rmtree(base, ignore_errors=True)
 

@@ -146,3 +146,27 @@ def test_langid_and_stats():
     assert detect_language("这是一个中文文档的例子") == "zh"
     assert token_count("a b  c") == 3
     assert hamming64(simhash64("spark engine data"), simhash64("spark engine data")) == 0
+
+
+def test_fast_tokenizer_matches_htmlparser_reference():
+    """The regex tokenizer must produce exactly the blocks the stdlib
+    HTMLParser-based reference collector produces, across the full fixture
+    mix (boilerplate, oversized, unicode, all languages)."""
+    from pdf_extract_spark.fixtures.pages import make_payload
+    from pdf_extract_spark.kernels.html_extract import (
+        _collect_blocks,
+        _collect_blocks_reference,
+    )
+
+    checked = 0
+    for i in range(0, 3000, 3):
+        payload, _ = make_payload(i)
+        if not payload or payload[:5] == b"%PDF-":
+            continue
+        try:
+            html = payload.decode("utf-8")
+        except UnicodeDecodeError:
+            continue
+        assert _collect_blocks(html) == _collect_blocks_reference(html), i
+        checked += 1
+    assert checked > 500
