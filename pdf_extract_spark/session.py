@@ -55,6 +55,8 @@ def get_spark(master: str | None = None,
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
                 "2")
         .config("spark.hadoop.parquet.enable.dictionary", "false")
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-warehouse"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,123 @@
+"""Physical-plan quality gates: assert the optimizations the engine claims
+actually appear in the executed plans — predicate pushdown to the parquet
+scan, column pruning (never deserialize unused payload columns), broadcast
+joins for dim tables, partition pruning on the run_id/status directory
+partitions, and bucketed co-located joins with no shuffle.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    from pdf_extract_spark.queries import load_all
+    q1 = load_all()["q1_pricing_summary"].fn(spark, SF)
+    plan = _plan(q1)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" \
+        in plan
+
+
+def test_column_pruning_never_reads_unused_payload(spark):
+    """The extraction operator must not deserialize the input `text` column
+    (SURVEY S1 note) — ReadSchema in the scan excludes it."""
+    from pdf_extract_spark.fixtures.pages import PAGES_SCHEMA, make_rows
+    from pdf_extract_spark.operators.extract import extract_text
+    import os
+    path = "/tmp/plantest_pages"
+    spark.createDataFrame(make_rows(50), PAGES_SCHEMA) \
+        .write.mode("overwrite").parquet(path)
+    plan = _plan(extract_text(spark.read.parquet(path)))
+    scan_line = next(ln for ln in plan.splitlines() if "ReadSchema" in ln)
+    assert "html" in scan_line
+    assert "text" not in scan_line.split("ReadSchema")[1]
+
+
+def test_q3_uses_broadcast_joins(spark):
+    from pdf_extract_spark.queries import load_all
+    plan = _plan(load_all()["q3_shipping_priority"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims broadcast; no big-big shuffle join
+
+
+def test_q3_top_k_avoids_full_sort(spark):
+    from pdf_extract_spark.queries import load_all
+    plan = _plan(load_all()["q3_shipping_priority"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_knn_broadcasts_query_side(spark):
+    from pdf_extract_spark.queries import load_all
+    plan = _plan(load_all()["knn_topk"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_anti_join_planned_as_broadcast(spark):
+    from pdf_extract_spark.queries import load_all
+    plan = _plan(load_all()["anti_join_quiet_customers"].fn(spark, SF))
+    assert "LeftAnti" in plan
+
+
+def test_output_partition_pruning(spark, tmp_path_factory):
+    """Reading one run/status from the extracted table must prune to that
+    directory partition (PartitionFilters, not a post-scan filter)."""
+    import pyspark.sql.functions as F
+    from pdf_extract_spark.fixtures.pages import PAGES_SCHEMA, make_rows
+    from pdf_extract_spark.plans.pipeline import run_extraction
+    out = str(tmp_path_factory.mktemp("prune"))
+    df = spark.createDataFrame(make_rows(60), PAGES_SCHEMA)
+    run_extraction(spark, df, out, run_id="rA", num_partitions=2)
+    read = (spark.read.parquet(f"{out}/extracted")
+            .filter((F.col("run_id") == "rA") & (F.col("status") == "ok")))
+    plan = _plan(read)
+    assert "PartitionFilters" in plan
+    scan = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "run_id" in scan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
+    """Bucketing demo (SURVEY §2.3 co-located joins): two tables bucketed
+    by the join key join with zero Exchange operators."""
+    import pyspark.sql.functions as F
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    (orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+     .sortBy("o_orderkey").saveAsTable("b_orders"))
+    (li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+     .sortBy("l_orderkey").saveAsTable("b_lineitem"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (spark.table("b_lineitem")
+             .join(spark.table("b_orders"),
+                   F.col("l_orderkey") == F.col("o_orderkey"))
+             .groupBy("o_orderpriority")
+             .agg(F.count("*").alias("n")))
+        plan = _plan(j)
+        join_section = plan.split("SortMergeJoin")[-1]
+        assert "Exchange hashpartitioning" not in join_section
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_whole_stage_codegen_covers_relational_ops(spark):
+    from pdf_extract_spark.queries import load_all
+    df = load_all()["q1_pricing_summary"].fn(spark, SF)
+    df.collect()  # AQE finalizes the plan (and codegen stages) on execution
+    plan = _plan(df)
+    # whole-stage-codegen'd operators carry the "*(n)" stage marker; both
+    # the partial and final hash aggregates must be inside codegen stages
+    assert "*(1) HashAggregate" in plan and "*(2) HashAggregate" in plan
