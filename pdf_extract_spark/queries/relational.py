@@ -262,3 +262,80 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events"))
     )
+
+
+@register(
+    "asof_join_events",
+    oracle="""
+    WITH errors AS (
+      SELECT user_id, ts AS err_ts FROM events WHERE event_type = 'error'),
+    purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id,
+           epoch_ms(p.ts) - epoch_ms(e.err_ts) AS ms_since_error
+    FROM purchases p
+    ASOF LEFT JOIN errors e
+      ON p.user_id = e.user_id AND p.ts >= e.err_ts
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join — an operator Spark lacks natively (build brief: custom
+    operators as compositions): for every purchase, the most recent error
+    at-or-before it for the same user. Implemented as the standard
+    union-and-carry shape: tag both streams, sort within user by event
+    time, carry the last error timestamp forward with last(ignoreNulls)
+    over an unbounded-preceding window, keep the probe rows. One shuffle
+    on user_id, no range explosion — scales as a plain window.
+
+    The DuckDB oracle is its native ASOF LEFT JOIN, so the composition is
+    verified against a first-class implementation. Tie semantics: ties on
+    ts are broken so an error at exactly the purchase ts matches (>=);
+    within equal timestamps the tagged sort puts errors first."""
+    ev = tbl(spark, sf_dir, "events")
+    errors = (ev.filter(F.col("event_type") == "error")
+              .select("user_id", F.col("ts").alias("ets"),
+                      F.lit(0).alias("side"), F.lit(None).alias("event_id")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("ts").alias("ets"),
+                         F.lit(1).alias("side"), "event_id"))
+    tagged = errors.unionByName(purchases)
+    w = (Window.partitionBy("user_id")
+         .orderBy("ets", "side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = tagged.withColumn(
+        "last_err_ts",
+        F.last(F.when(F.col("side") == 0, F.col("ets")), ignorenulls=True)
+        .over(w))
+    return (carried.filter(F.col("side") == 1)
+            .select(
+                F.col("event_id").cast("bigint").alias("event_id"),
+                "user_id",
+                (F.unix_millis(F.col("ets").cast("timestamp"))
+                 - F.unix_millis(F.col("last_err_ts").cast("timestamp")))
+                .alias("ms_since_error")))
+
+
+@register(
+    "events_grouping_sets",
+    oracle="""
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, CAST(date_trunc('day', ts) AS DATE)),
+                            (event_type), ())
+    """,
+)
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets (multi-granularity rollup in one pass): per
+    (type, day), per type, and grand total — Catalyst expands the sets and
+    keeps map-side partial aggregation; exact DECIMAL sums throughout."""
+    ev = tbl(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date").alias("day")
+    return (ev.select("event_type", day, "value")
+            .groupingSets([["event_type", "day"], ["event_type"], []],
+                          "event_type", "day")
+            .agg(F.count("*").alias("n_events"),
+                 F.expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)")
+                 .alias("sum_value")))
