@@ -217,10 +217,17 @@ def semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time rollup + JSON field extraction (SURVEY F8: from_json with
-    explicit schema — here get_json_object, the scalar form)."""
+    explicit schema — here get_json_object, the scalar form).
+
+    Hour truncation via make_timestamp_ntz(field extractions), NOT
+    date_trunc: Spark casts NTZ→LTZ through the session timezone inside
+    date_trunc, shifting results in non-UTC sessions; field extraction on
+    NTZ is timezone-free (matches DuckDB's naive date_trunc)."""
     ev = tbl(spark, sf_dir, "events")
+    hour_ntz = F.expr(
+        "make_timestamp_ntz(year(ts), month(ts), day(ts), hour(ts), 0, 0)")
     return (
-        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        ev.groupBy(hour_ntz.alias("hour"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)")
