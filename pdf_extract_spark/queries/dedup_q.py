@@ -315,3 +315,102 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(f"{dot} / ({na} * {nb})").alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.99)
     )
+
+
+# --- SRP-LSH bucketed embedding near-dup (scale path) ---------------------
+# Hyperplane signs are a pure function of (component i, plane j) through
+# sha256 — identically computable in both engines, no RNG state to ship.
+
+N_PLANES = 8
+_DUCK_HP = """
+hp AS (
+  SELECT CAST(i.range AS INT) AS i, CAST(j.range AS INT) AS j,
+         CASE WHEN substr(sha256('hp#' || j.range || '#' || i.range), 1, 1)
+                   < '8' THEN 1.0 ELSE -1.0 END AS s
+  FROM range(0, 64) i CROSS JOIN range(0, 8) j)
+"""
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=f"""
+    WITH aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, embedding
+      FROM embeddings WHERE vec_id % 20 = 0),
+    {_DUCK_HP},
+    comp AS (
+      SELECT a.vec_id, unnest(a.embedding) AS x,
+             generate_subscripts(a.embedding, 1) - 1 AS i
+      FROM aug a),
+    proj AS (
+      SELECT c.vec_id, h.j,
+             CAST(SUM(CAST(h.s * CAST(c.x AS DOUBLE) AS DECIMAL(18,12)))
+                  AS DOUBLE) AS p
+      FROM comp c JOIN hp h ON h.i = c.i
+      GROUP BY c.vec_id, h.j),
+    sig AS (
+      SELECT vec_id,
+             string_agg(CASE WHEN p >= 0 THEN '1' ELSE '0' END, ''
+                        ORDER BY j) AS bucket
+      FROM proj GROUP BY vec_id),
+    cand AS (
+      SELECT x.vec_id AS a_id, y.vec_id AS b_id
+      FROM sig x JOIN sig y
+        ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+    SELECT c.a_id, c.b_id, {_DUCK_COS.replace('a.embedding', 'ea.embedding').replace('b.embedding', 'eb.embedding')} AS cos_sim
+    FROM cand c
+    JOIN aug ea ON ea.vec_id = c.a_id
+    JOIN aug eb ON eb.vec_id = c.b_id
+    WHERE {_DUCK_COS.replace('a.embedding', 'ea.embedding').replace('b.embedding', 'eb.embedding')} >= 0.99
+    """,
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at scale: signed-random-projection LSH replaces
+    the O(n²) cross join of dedup_embedding_cosine — candidates are pairs
+    sharing an 8-bit hyperplane-sign bucket (equi-join), verified by exact
+    cosine. Hyperplane signs derive from sha256(plane#component), so Spark
+    and DuckDB build the identical hash family; projections use DECIMAL
+    sums (order-insensitive) before the sign decision.
+
+    Cost: n·64·8 multiply-adds for signatures + within-bucket pairs —
+    linear-ish vs the baseline's n²·64."""
+    emb = tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    aug = emb.unionByName(
+        emb.filter(F.col("vec_id") % 20 == 0)
+        .select((F.col("vec_id") + 100_000).alias("vec_id"), "embedding"))
+    aug = aug.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+
+    hp = (spark.range(64).select(F.col("id").cast("int").alias("i"))
+          .crossJoin(spark.range(8).select(F.col("id").cast("int").alias("j")))
+          .select("i", "j", F.expr(
+              "CASE WHEN substr(sha2(concat('hp#', j, '#', i), 256), 1, 1)"
+              " < '8' THEN 1.0 ELSE -1.0 END").alias("s")))
+
+    comp = aug.select("vec_id", F.posexplode("embedding").alias("i", "x"))
+    proj = (comp.join(F.broadcast(hp), "i")
+            .groupBy("vec_id", "j")
+            .agg(F.expr("CAST(SUM(CAST(s * CAST(x AS DOUBLE)"
+                        " AS DECIMAL(18,12))) AS DOUBLE)").alias("p")))
+    sig = (proj.groupBy("vec_id")
+           .agg(F.expr("array_join(transform(array_sort(collect_list("
+                       "struct(j, CASE WHEN p >= 0 THEN '1' ELSE '0' END))),"
+                       " v -> v.col2), '')").alias("bucket")))
+    x, y = sig.alias("x"), sig.alias("y")
+    cand = (x.join(y, (F.col("x.bucket") == F.col("y.bucket"))
+                   & (F.col("x.vec_id") < F.col("y.vec_id")))
+            .select(F.col("x.vec_id").alias("a_id"),
+                    F.col("y.vec_id").alias("b_id")))
+    a = aug.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
+    b = aug.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
+    dot = ("aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) *"
+           " CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    na = ("sqrt(aggregate(zip_with(va, va, (x, y) -> CAST(x AS DOUBLE) *"
+          " CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))")
+    nb = ("sqrt(aggregate(zip_with(vb, vb, (x, y) -> CAST(x AS DOUBLE) *"
+          " CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))")
+    return (cand.join(a, "a_id").join(b, "b_id")
+            .select("a_id", "b_id",
+                    F.expr(f"{dot} / ({na} * {nb})").alias("cos_sim"))
+            .filter(F.col("cos_sim") >= 0.99))
