@@ -1,0 +1,86 @@
+"""Custom stateful streaming operator: cross-batch exact deduplication via
+``applyInPandasWithState`` (build brief §streaming: custom stateful
+operators).
+
+A training-data ingest stream re-crawls pages; exactly-once *file*
+semantics (ingest.py) do not dedup re-crawled *urls* across batches. This
+operator keys the stream by a url-hash prefix and keeps the set of seen
+url digests in state, emitting only first occurrences — the streaming twin
+of dedup_q.dedup_exact.
+
+State is keyed by a 2-hex-char shard of sha256(url) (256 shards), so
+state size per key stays bounded and shard cardinality is fixed
+regardless of stream size; a real deployment adds state TTL via
+GroupStateTimeout.ProcessingTimeTimeout for bounded retention.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = "url string, url_sha string, first_seen_batch long"
+STATE_SCHEMA = "seen array<string>"
+
+
+def _dedup_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+              state: GroupState) -> Iterator[pd.DataFrame]:
+    seen: set[str] = set(state.get[0]) if state.exists else set()
+    batch_id = 0
+    out_urls, out_shas = [], []
+    for pdf in pdfs:
+        for url, sha in zip(pdf["url"], pdf["url_sha"]):
+            if sha not in seen:
+                seen.add(sha)
+                out_urls.append(url)
+                out_shas.append(sha)
+    state.update((sorted(seen),))
+    if out_urls:
+        yield pd.DataFrame({"url": out_urls, "url_sha": out_shas,
+                            "first_seen_batch": [batch_id] * len(out_urls)})
+
+
+def stream_dedup(pages_stream: DataFrame) -> DataFrame:
+    """streaming pages → first-occurrence-only rows, state per url-hash
+    shard. Input must be a streaming DataFrame with a `url` column."""
+    keyed = pages_stream.select(
+        "url",
+        F.sha2("url", 256).alias("url_sha"),
+    ).withColumn("shard", F.substring("url_sha", 1, 2))
+    return (
+        keyed.groupBy("shard")
+        .applyInPandasWithState(
+            _dedup_fn,
+            outputStructType=OUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_stream_dedup(spark, input_dir: str, output_dir: str,
+                     checkpoint_dir: str) -> int:
+    """Drain the pending backlog through the stateful dedup into a parquet
+    sink (the memory sink cannot recover from a checkpoint across drains);
+    returns total first-occurrence rows accumulated in the output."""
+    from ..fixtures.pages import PAGES_SCHEMA
+
+    stream = (spark.readStream.schema(PAGES_SCHEMA)
+              .format("parquet").load(input_dir))
+    q = (stream_dedup(stream).writeStream
+         .format("parquet")
+         .option("path", output_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    try:
+        return spark.read.parquet(output_dir).count()
+    except Exception:
+        return 0

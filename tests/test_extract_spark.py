@@ -107,3 +107,29 @@ def test_rerun_when_complete_is_noop(spark, tmp_path_factory):
     assert stats["n_in"] == 0
     assert final_digest(spark, base) == d1
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_salted_repartition_balances_oversized_tail(spark):
+    """O7 skew evidence: with a heavy oversized tail, salted partitioning
+    must cap the max partition byte load near the mean; naive url-hash
+    partitioning would let multiple oversized docs co-locate by chance."""
+    import pyspark.sql.functions as F
+    from pdf_extract_spark.operators.extract import salted_repartition
+
+    # 400 small docs (~1 KB) + 12 oversized (~512 KB): heavy tail ~86% of bytes
+    rows = [(f"https://s.example/{i:06d}", None, bytearray(b"x" * 1024), None, "en")
+            for i in range(400)]
+    rows += [(f"https://big.example/{i:03d}", None,
+              bytearray(b"y" * (512 * 1024)), None, "en") for i in range(12)]
+    df = spark.createDataFrame(rows, pages.PAGES_SCHEMA)
+
+    parts = (salted_repartition(df, 12)
+             .select(F.spark_partition_id().alias("p"),
+                     F.length("html").alias("n"))
+             .groupBy("p").agg(F.sum("n").alias("part_bytes"))
+             .collect())
+    loads = [r["part_bytes"] for r in parts]
+    total = sum(loads)
+    # the 12 heavy rows round-robin across 12 partitions → no partition
+    # should hold more than ~2 heavy docs' worth of bytes
+    assert max(loads) < 0.25 * total, loads

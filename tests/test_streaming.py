@@ -85,3 +85,26 @@ def test_watermarked_rollup(spark, tmp_path_factory):
     total = sum(r["n_events"] for r in res)
     assert total == 100
     assert {r["event_type"] for r in res} == {"view", "click"}
+
+
+def test_stateful_stream_dedup(spark, tmp_path_factory):
+    """applyInPandasWithState cross-batch dedup: re-crawled urls in later
+    batches are dropped; state survives across drains via checkpoint."""
+    from pdf_extract_spark.streaming.stateful import run_stream_dedup
+
+    base = str(tmp_path_factory.mktemp("sdedup"))
+    input_dir = os.path.join(base, "in")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(input_dir)
+
+    _land_pages(spark, input_dir, 80, 0, "b1")
+    assert run_stream_dedup(spark, input_dir, out, ckpt) == 80
+
+    # batch 2: 40 re-crawled urls (indices 40-79) + 30 new (80-109)
+    _land_pages(spark, input_dir, 70, 40, "b2")
+    total = run_stream_dedup(spark, input_dir, out, ckpt)
+    # only the 30 genuinely new urls pass the stateful filter
+    assert total == 110
+    df = spark.read.parquet(out)
+    assert df.count() == df.select("url").distinct().count() == 110
