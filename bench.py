@@ -51,17 +51,25 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_embedding_lsh",
+    "dedup_simhash",
+    "asof_join_events",
+    "events_grouping_sets",
+    "json_fence_repair",
+    "report_projection",
     "token_stats",
     "entity_extract",
     "extract_roundtrip",
     "summarize_docs",
+    "analyze_docs",
 ]
 
 
 def _materialize_pages(n: int) -> str:
     """Synthesize the fixture pages table once; both scaling runs read the
     identical parquet layout."""
-    path = f"/tmp/bench_pages_{n}.parquet"
+    from pdf_extract_spark.fixtures.pages import FIXTURE_VERSION
+    path = f"/tmp/bench_pages_v{FIXTURE_VERSION}_{n}.parquet"
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     from pdf_extract_spark.fixtures.pages import pages_df

@@ -84,9 +84,14 @@ def make_html(i: int, lang: str, oversized: bool = False) -> bytes:
     return html.encode("utf-8")
 
 
+FIXTURE_VERSION = 2  # bump when payload synthesis changes (bench caches key on it)
+
+
 def make_pdf(i: int, lang: str) -> bytes:
-    """Rotate through page shapes so every layout path is exercised."""
-    kind = _h(i, "pdfkind") % 4
+    """Rotate through page shapes so every layout path is exercised;
+    every other PDF is FlateDecode-compressed."""
+    kind = _h(i, "pdfkind") % 5
+    compress = _h(i, "pdfz") % 2 == 0
     lines1 = [_sentence(i, j, "en") for j in range(6)]
     if kind == 0:
         pages = [pdf_writer.page_ops_simple(lines1),
@@ -98,12 +103,15 @@ def make_pdf(i: int, lang: str) -> bytes:
         left = [f"left column line {j} idx{i%9}" for j in range(4)]
         right = [f"right column line {j}" for j in range(4)]
         pages = [pdf_writer.page_ops_two_column(left, right)]
-    else:
+    elif kind == 3:
         header = ["name", "count", "score"]
         rows = [[f"row{j}", str(10 * j + i % 10), f"{(j + 1)}.5"] for j in range(4)]
         pages = [pdf_writer.page_ops_table(header, rows),
                  pdf_writer.page_ops_tj_array([["kerned", -800, "words", -900, "here"]])]
-    return pdf_writer.build_pdf(pages)
+    else:
+        pages = [pdf_writer.page_ops_quote_hex(
+            [_sentence(i, 20 + j, "en") for j in range(5)])]
+    return pdf_writer.build_pdf(pages, compress=compress)
 
 
 def make_payload(i: int) -> tuple[bytes, str]:

@@ -1,14 +1,17 @@
 """Minimal deterministic PDF writer for fixtures.
 
-Emits uncompressed single/multi-page PDFs using only the text operators the
-extraction kernel supports (``BT/ET``, ``Tf``, ``Td/TD/Tm/T*``, ``Tj/TJ``) —
-per FIXTURES.md §1. The reference consumes PDFs via pdfplumber
+Emits single/multi-page PDFs using only the text operators the extraction
+kernel supports (``BT/ET``, ``Tf``, ``Td/TD/Tm/T*/TL``, ``Tj/TJ/'``,
+literal + hex strings, optionally FlateDecode-compressed content streams)
+— per FIXTURES.md §1. The reference consumes PDFs via pdfplumber
 (/root/reference/modules/tools.py:42-46); this sandbox has no PDF libs, so
 fixtures are produced by this writer and decoded by
 ``pdf_extract_spark.kernels.pdf_extract`` (same text model, bounded scope).
 """
 
 from __future__ import annotations
+
+import zlib
 
 PAGE_W, PAGE_H = 612, 792
 LEFT = 72
@@ -22,9 +25,14 @@ def _esc(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def _content_stream(ops: list[str]) -> bytes:
+def _content_stream(ops: list[str], compress: bool = False) -> bytes:
     body = "\n".join(ops).encode("latin-1", errors="replace")
-    return b"<< /Length " + str(len(body)).encode() + b" >>\nstream\n" + body + b"\nendstream"
+    if compress:
+        body = zlib.compress(body, level=6)
+        return (b"<< /Length " + str(len(body)).encode()
+                + b" /Filter /FlateDecode >>\nstream\n" + body + b"\nendstream")
+    return (b"<< /Length " + str(len(body)).encode()
+            + b" >>\nstream\n" + body + b"\nendstream")
 
 
 def page_ops_simple(lines: list[str]) -> list[str]:
@@ -102,7 +110,24 @@ def page_ops_tj_array(segments: list[list]) -> list[str]:
     return ops
 
 
-def build_pdf(pages_ops: list[list[str]]) -> bytes:
+def page_ops_quote_hex(lines: list[str]) -> list[str]:
+    """Exercise TL leading + the ' (next-line-show) operator and hex-string
+    arguments: odd lines as hex strings, even as literals."""
+    ops = ["BT", f"/F1 {FONT_SIZE} Tf", f"{LEADING} TL",
+           f"{LEFT} {TOP} Td"]
+    for i, line in enumerate(lines):
+        if i == 0:
+            ops.append(f"({_esc(line)}) Tj")
+        elif i % 2:
+            hx = line.encode("latin-1", errors="replace").hex()
+            ops.append(f"<{hx}> '")
+        else:
+            ops.append(f"({_esc(line)}) '")
+    ops.append("ET")
+    return ops
+
+
+def build_pdf(pages_ops: list[list[str]], compress: bool = False) -> bytes:
     """Assemble a valid-enough PDF: header, objects, xref, trailer."""
     objects: list[bytes] = []
     n_pages = len(pages_ops)
@@ -116,7 +141,7 @@ def build_pdf(pages_ops: list[list[str]]) -> bytes:
              f"/Contents {4 + 2 * i} 0 R /Resources << /Font << /F1 "
              f"{font_obj_num} 0 R >> >> >>").encode()
         )
-        objects.append(_content_stream(ops))
+        objects.append(_content_stream(ops, compress=compress))
     objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
 
     out = bytearray(b"%PDF-1.4\n")

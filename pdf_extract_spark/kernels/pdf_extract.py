@@ -11,16 +11,39 @@ this kernel implements the same class of algorithm directly:
   sort (y desc, x asc; two-column pages left column first) → table-region
   detection via aligned x-positions → page concat in page order (tools.py:41-47).
 
-Bounded scope: uncompressed content streams with BT/ET, Tf, Td, TD, Tm, T*,
-Tj, TJ — exactly what the fixture writer emits (FIXTURES.md §1).
-Pure function of bytes ⇒ usable as the single-node golden oracle.
+Bounded scope: content streams (raw or FlateDecode-compressed, located by
+the /Length entry — never by scanning for `endstream`, which compressed
+bytes may contain) with BT/ET, Tf, Td, TD, Tm, T*, TL, Tj, TJ, ' and
+literal/hex string arguments — exactly what the fixture writer emits
+(FIXTURES.md §1). Pure function of bytes ⇒ usable as the single-node
+golden oracle.
 """
 
 from __future__ import annotations
 
 import re
+import zlib
 
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
+_STREAM_HDR_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.DOTALL)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
+
+
+def _iter_streams(payload: bytes):
+    """Yield decoded content-stream bodies, sliced by /Length (robust to
+    `endstream` byte sequences inside compressed data)."""
+    for m in _STREAM_HDR_RE.finditer(payload):
+        d = m.group(1)
+        lm = _LENGTH_RE.search(d)
+        if not lm:
+            continue
+        body = payload[m.end():m.end() + int(lm.group(1))]
+        if b"/FlateDecode" in d:
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                yield None  # signals corrupt stream
+                continue
+        yield body
 
 # layout constants (kernel spec)
 Y_TOL = 3.0            # same-line y tolerance (pts)
@@ -45,6 +68,7 @@ class _Span:
 
 _TOKEN_RE = re.compile(
     rb"\((?:[^()\\]|\\.)*\)"      # literal string
+    rb"|<[0-9A-Fa-f\s]*>"         # hex string
     rb"|\[|\]"
     rb"|/[A-Za-z0-9]+"
     rb"|[-+]?\d*\.?\d+"
@@ -90,6 +114,15 @@ def _parse_spans(stream: bytes) -> list[_Span]:
                 array_items.append(s)
             else:
                 stack.append(s)
+        elif tok.startswith(b"<"):
+            hx = re.sub(rb"\s", b"", tok[1:-1])
+            if len(hx) % 2:
+                hx += b"0"  # PDF spec: odd-length hex pads with 0
+            s = bytes.fromhex(hx.decode("ascii")).decode("latin-1")
+            if in_array:
+                array_items.append(s)
+            else:
+                stack.append(s)
         elif tok.startswith(b"/"):
             stack.append(tok.decode("latin-1"))
         elif re.fullmatch(rb"[-+]?\d*\.?\d+", tok):
@@ -119,9 +152,20 @@ def _parse_spans(stream: bytes) -> list[_Span]:
                 lm_x, lm_y = float(stack[-2]), float(stack[-1])
                 tm_x, tm_y = lm_x, lm_y
                 stack = []
+            elif op == "TL" and stack:
+                leading = float(stack[-1])
+                stack = []
             elif op == "T*":
                 lm_y -= leading
                 tm_x, tm_y = lm_x, lm_y
+                stack = []
+            elif op == "'" and stack:  # next line + show
+                lm_y -= leading
+                tm_x, tm_y = lm_x, lm_y
+                s = stack[-1]
+                if isinstance(s, str) and s:
+                    spans.append(_Span(tm_x, tm_y, size, s))
+                    tm_x += CHAR_W * size * len(s)
                 stack = []
             elif op == "Tj" and stack:
                 s = stack[-1]
@@ -235,8 +279,10 @@ def extract_pdf_text(payload: bytes) -> tuple[str | None, str | None]:
     if b"%%EOF" not in payload:
         return None, "truncated_pdf"
     pages = []
-    for m in _STREAM_RE.finditer(payload):
-        spans = _parse_spans(m.group(1))
+    for body in _iter_streams(payload):
+        if body is None:
+            return None, "bad_flate_stream"
+        spans = _parse_spans(body)
         if spans:
             pages.append(_page_text(spans))
     text = "\n\n".join(pages).strip()

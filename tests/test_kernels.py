@@ -170,3 +170,69 @@ def test_fast_tokenizer_matches_htmlparser_reference():
         assert _collect_blocks(html) == _collect_blocks_reference(html), i
         checked += 1
     assert checked > 500
+
+
+def test_roundtrip_property_arbitrary_text():
+    """Property: for any text whose blank-line paragraphs are
+    whitespace-normalized and individually keepable (≥25 chars, ≥4 words),
+    encode_page → extract is byte-identity (the flagship oracle's spec),
+    including HTML-special characters that must escape/unescape cleanly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_extract_spark.kernels.decode import decode_payload
+    from pdf_extract_spark.queries.docpipe_q import encode_page
+
+    word = st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs", "Zs", "Zl", "Zp", "Cc"),
+        ),
+        min_size=1, max_size=12)
+    para = (st.lists(word, min_size=4, max_size=30)
+            .map(" ".join)
+            .filter(lambda p: len(p) >= 25))
+    texts = st.lists(para, min_size=1, max_size=4).map("\n\n".join)
+
+    @settings(max_examples=150, deadline=None)
+    @given(texts)
+    def check(text):
+        extracted, err = decode_payload(encode_page(text))
+        assert err is None
+        assert extracted == text
+
+    check()
+
+
+def test_pdf_quote_hex_and_leading():
+    """TL + ' operator + hex-string arguments: lines land in order."""
+    from pdf_extract_spark.fixtures import pdf_writer
+    from pdf_extract_spark.kernels.pdf_extract import extract_pdf_text
+
+    lines = ["first literal line here", "second via hex string",
+             "third literal again ok", "fourth via hex again"]
+    pdf = pdf_writer.build_pdf([pdf_writer.page_ops_quote_hex(lines)])
+    text, err = extract_pdf_text(pdf)
+    assert err is None
+    assert text.splitlines() == lines
+
+
+def test_pdf_flate_compressed_stream():
+    """FlateDecode content streams decode identically to raw ones, and the
+    /Length-based slicing survives `endstream` bytes inside deflate data."""
+    from pdf_extract_spark.fixtures import pdf_writer
+    from pdf_extract_spark.kernels.pdf_extract import extract_pdf_text
+
+    lines = [f"compressed page line {j} with words" for j in range(8)]
+    raw = pdf_writer.build_pdf([pdf_writer.page_ops_simple(lines)],
+                               compress=False)
+    comp = pdf_writer.build_pdf([pdf_writer.page_ops_simple(lines)],
+                                compress=True)
+    t_raw, e1 = extract_pdf_text(raw)
+    t_comp, e2 = extract_pdf_text(comp)
+    assert e1 is None and e2 is None
+    assert t_raw == t_comp
+
+    # corrupt deflate body → quarantined, not crashed
+    bad = comp.replace(b"stream\n", b"stream\nXX", 1)
+    t_bad, e_bad = extract_pdf_text(bad)
+    assert t_bad is None and e_bad == "bad_flate_stream"
