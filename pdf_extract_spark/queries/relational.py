@@ -346,3 +346,34 @@ def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_events"),
                  F.expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)")
                  .alias("sum_value")))
+
+
+@register(
+    "part_brand_stats",
+    oracle="""
+    SELECT p_brand, p_type,
+           COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE)
+             / COUNT(*) AS avg_price,
+           MAX(p_size) AS max_size
+    FROM part
+    WHERE p_type LIKE '%ECO%' OR p_size BETWEEN 1 AND 15
+    GROUP BY p_brand, p_type
+    """,
+)
+def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-table profiling with a disjunctive pushable predicate (LIKE +
+    BETWEEN) and exact decimal averaging — completes table coverage of the
+    fixture star schema."""
+    part = tbl(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_type").like("%ECO%")
+                    | F.col("p_size").between(1, 15))
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.expr("CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE)"
+                   " / COUNT(*)").alias("avg_price"),
+            F.max("p_size").alias("max_size"),
+        )
+    )
