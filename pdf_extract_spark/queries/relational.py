@@ -112,30 +112,34 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q5_nation_revenue",
     oracle=f"""
-    SELECT n_name, CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue
+    SELECT r_name, n_name, CAST(SUM({_DISC_PRICE}) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
     JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
     JOIN nation ON s_nationkey = n_nationkey
-    GROUP BY n_name
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
     """,
 )
 def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: star join with broadcast dims (nation/supplier/
-    customer) so the only shuffle is the lineitem↔orders equi-join + agg."""
+    """TPC-H Q5 shape: star join with broadcast dims (region/nation/
+    supplier/customer) so the only shuffle is the lineitem↔orders
+    equi-join + agg."""
     cust = tbl(spark, sf_dir, "customer")
     orders = tbl(spark, sf_dir, "orders")
     li = tbl(spark, sf_dir, "lineitem")
     supp = tbl(spark, sf_dir, "supplier")
     nation = tbl(spark, sf_dir, "nation")
+    region = tbl(spark, sf_dir, "region")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey)
               & (cust.c_nationkey == supp.s_nationkey))
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .groupBy("n_name")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
         .agg(F.expr(f"CAST(SUM({_DISC_PRICE}) AS DOUBLE)").alias("revenue"))
     )
 
