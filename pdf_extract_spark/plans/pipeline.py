@@ -19,14 +19,21 @@ status column), so the quarantine table (reference error_final analog,
 second job. Lineage is derived from a column-pruned re-read of the rows
 just written (3 thin columns), and run counters come from the lineage
 table itself — the full extracted text is scanned exactly once and
-written exactly once. Iceberg would make data+lineage one transaction; on
-the parquet fallback the resume key is the data table itself, so a crash
-between the two writes cannot duplicate rows.
+written exactly once.
+
+Crash safety (run-level commit protocol): lineage is written LAST, so its
+presence is the commit marker for a run. At resume, run_id= directories
+with no lineage (crashed mid-write — committer v2 exposes task files as
+tasks finish, possibly torn) are deleted wholesale and their input
+reprocessed; committed runs are never touched. Iceberg would make
+data+lineage one transaction; this protocol is the parquet equivalent at
+run granularity, tested including a torn-parquet-file crash.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -34,6 +41,35 @@ from ..operators.extract import extract_text
 
 LINEAGE_SCHEMA = ("run_id string, partition_id int, n_in long, n_out long, "
                   "n_err long, digest string")
+
+
+def _committed_run_ids(spark: SparkSession, lineage_dir: str) -> set[str]:
+    """Runs whose lineage exists are committed: lineage is the LAST write
+    of a run, so its presence proves the data write completed."""
+    try:
+        return {r["run_id"] for r in (spark.read.parquet(lineage_dir)
+                                      .select("run_id").distinct().collect())}
+    except Exception:
+        return set()
+
+
+def _cleanup_uncommitted(extracted_dir: str, committed: set[str]) -> list[str]:
+    """Delete run_id= directories with no lineage (crashed mid-write).
+
+    Committer v2 makes task files visible as tasks finish, so a crashed run
+    leaves partial — possibly torn — files behind; because the output is
+    directory-partitioned by run_id, the whole crashed run is removable
+    without touching committed data. (Local-FS listing here; on a real
+    cluster this is the same operation through the Hadoop FS API, and an
+    Iceberg writer would make the whole run one transaction instead.)"""
+    removed = []
+    if not os.path.isdir(extracted_dir):
+        return removed
+    for name in os.listdir(extracted_dir):
+        if name.startswith("run_id=") and name.split("=", 1)[1] not in committed:
+            shutil.rmtree(os.path.join(extracted_dir, name), ignore_errors=True)
+            removed.append(name)
+    return removed
 
 
 def _read_urls(spark: SparkSession, d: str) -> DataFrame | None:
@@ -73,6 +109,11 @@ def run_extraction(
     """Run (or resume) the extraction job. Returns counters for the run."""
     extracted_dir = os.path.join(out_dir, "extracted")
     lineage_dir = os.path.join(out_dir, "lineage")
+
+    # run-level commit protocol: drop data from runs that crashed before
+    # their lineage (= commit marker) was written
+    _cleanup_uncommitted(extracted_dir,
+                         _committed_run_ids(spark, lineage_dir))
 
     done = _read_urls(spark, extracted_dir)
     todo = pages

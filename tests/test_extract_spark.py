@@ -133,3 +133,58 @@ def test_salted_repartition_balances_oversized_tail(spark):
     # the 12 heavy rows round-robin across 12 partitions → no partition
     # should hold more than ~2 heavy docs' worth of bytes
     assert max(loads) < 0.25 * total, loads
+
+
+def test_crash_between_data_and_lineage_writes(spark, tmp_path_factory):
+    """Run-level commit protocol: lineage is the commit marker. A run whose
+    lineage never landed (crash window) is treated as uncommitted — its
+    data is dropped at resume and reprocessed exactly once, converging to
+    the identical digest with no duplicates."""
+    import shutil as sh
+
+    base = str(tmp_path_factory.mktemp("crashwin"))
+    df = spark.createDataFrame(pages.make_rows(120), schema=pages.PAGES_SCHEMA)
+    run_extraction(spark, df, base, run_id="r1", num_partitions=3)
+    d1 = final_digest(spark, base)
+
+    sh.rmtree(f"{base}/lineage")  # crash happened before lineage commit
+
+    stats = run_extraction(spark, df, base, run_id="r2", num_partitions=3)
+    assert stats["n_in"] == 120  # uncommitted run dropped → full reprocess
+    assert final_digest(spark, base) == d1
+    ok = extracted_ok(spark, base)
+    assert ok.count() == ok.select("url").distinct().count()
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_crash_mid_write_torn_file(spark, tmp_path_factory):
+    """Committer v2 exposes task files as tasks finish: a crash mid-write
+    leaves a torn parquet file in the crashed run's directory. The resume
+    cleanup must remove the whole uncommitted run (torn file included) and
+    reprocess it — committed runs stay untouched."""
+    import glob
+    import os as _os
+
+    base = str(tmp_path_factory.mktemp("torn"))
+    df1 = spark.createDataFrame(pages.make_rows(80), schema=pages.PAGES_SCHEMA)
+    run_extraction(spark, df1, base, run_id="r1", num_partitions=2)
+    d1 = final_digest(spark, base)
+
+    # simulate a crashed second run: partial dir with one torn file, no lineage
+    crashed = f"{base}/extracted/run_id=crashed/status=ok"
+    _os.makedirs(crashed)
+    good = glob.glob(f"{base}/extracted/run_id=r1/status=ok/*.parquet")[0]
+    with open(good, "rb") as f:
+        torn = f.read()[:100]  # truncated parquet = unreadable
+    with open(f"{crashed}/part-torn.parquet", "wb") as f:
+        f.write(torn)
+
+    full = spark.createDataFrame(pages.make_rows(130), schema=pages.PAGES_SCHEMA)
+    stats = run_extraction(spark, full, base, run_id="r2", num_partitions=2)
+    assert stats["n_in"] == 50  # only the genuinely new rows
+    assert not _os.path.exists(f"{base}/extracted/run_id=crashed")
+    ok = extracted_ok(spark, base)
+    assert ok.count() == ok.select("url").distinct().count()
+    assert ok.count() + quarantine(spark, base).count() == 130
+    assert final_digest(spark, base) != d1  # grew by the new rows
+    shutil.rmtree(base, ignore_errors=True)
