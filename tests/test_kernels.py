@@ -236,3 +236,51 @@ def test_pdf_flate_compressed_stream():
     bad = comp.replace(b"stream\n", b"stream\nXX", 1)
     t_bad, e_bad = extract_pdf_text(bad)
     assert t_bad is None and e_bad == "bad_flate_stream"
+
+
+def test_pdf_escape_property():
+    """Property: writer-escape → parser-unescape is identity for lines with
+    parens, backslashes, and latin-1 glyphs (the PDF string escape path)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_extract_spark.fixtures import pdf_writer
+    from pdf_extract_spark.kernels.pdf_extract import extract_pdf_text
+
+    line = st.text(
+        alphabet=st.sampled_from(
+            list("abcdefgh ()\\%/<>[]{}#&*!0123456789éüñ")),
+        min_size=1, max_size=40,
+    ).map(lambda s: s.strip()).filter(
+        lambda s: s and " " not in s[:1])
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.lists(line, min_size=1, max_size=5))
+    def check(lines):
+        pdf = pdf_writer.build_pdf(
+            [pdf_writer.page_ops_simple(lines)], compress=True)
+        text, err = extract_pdf_text(pdf)
+        assert err is None
+        # layout collapses runs of spaces within a line (word grouping);
+        # writer emits one span per line, so text must round-trip exactly
+        assert text.splitlines() == lines
+
+    check()
+
+
+def test_entity_sanitation_idempotent():
+    """SURVEY §5.2: sanitize(sanitize(x)) == sanitize(x), and extraction
+    output is already canonical (sorted, distinct, len>2)."""
+    from pdf_extract_spark.kernels.ner import _sanitize, extract_entities
+
+    raw = ["  Alice  ", "Bob", "x", "", "Alice", "Charlie Delta", "ab"]
+    once = _sanitize(raw)
+    assert _sanitize(once) == once
+    assert once == sorted(set(once))
+    assert all(len(e) > 2 for e in once)
+
+    ents = extract_entities(
+        "Alice Johnson met Bob Smith in Paris on 2024-01-15; cost 42.5.")
+    for cat, vals in ents.items():
+        assert vals == sorted(set(vals)), cat
+        assert _sanitize(vals) == vals, cat
