@@ -119,12 +119,14 @@ _HEADINGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 # kernel's spec): a literal '>' inside a quoted attribute value terminates
 # the tag early.
 
+# A tag opens only when '<' (or '</') is immediately followed by a letter —
+# matching html.parser, which leaves '3 < y' prose as text.
 _TOKEN_RE = re.compile(
     r"<!--.*?-->"
     r"|<!\[CDATA\[.*?\]\]>"
     r"|<![^>]*>"
     r"|<\?[^>]*>"
-    r"|<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9-]*)[^>]*?(/?)\s*>",
+    r"|<(/?)([a-zA-Z][a-zA-Z0-9-]*)[^>]*?(/?)\s*>",
     re.DOTALL,
 )
 _RAWTEXT = frozenset({"script", "style"})
@@ -176,6 +178,12 @@ def _collect_blocks(html: str) -> list[tuple[str, int, int, str]]:
         if name is None:  # comment / doctype / PI
             continue
         tag = name.lower()
+        if selfclose and not closing:
+            # XHTML self-closing: the reference collector's
+            # handle_startendtag only reacts to <br/> — mirror that exactly
+            if tag == "br" and not drop_depth:
+                parts.append(" ")
+            continue
         if not closing and tag in _RAWTEXT and not selfclose:
             # skip raw content up to the matching close tag
             if lower is None:
@@ -203,12 +211,11 @@ def _collect_blocks(html: str) -> list[tuple[str, int, int, str]]:
         else:
             if tag in _DROP_SUBTREE:
                 flush()
-                if not selfclose:
-                    drop_depth += 1
+                drop_depth += 1
                 continue
             if drop_depth:
                 continue
-            if tag == "a" and not selfclose:
+            if tag == "a":
                 a_depth += 1
             if tag in _BLOCK_TAGS:
                 flush()

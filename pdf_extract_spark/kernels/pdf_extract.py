@@ -30,13 +30,25 @@ _LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
 
 def _iter_streams(payload: bytes):
     """Yield decoded content-stream bodies, sliced by /Length (robust to
-    `endstream` byte sequences inside compressed data)."""
-    for m in _STREAM_HDR_RE.finditer(payload):
+    `endstream` byte sequences inside compressed data).
+
+    Manual scan loop, not finditer: the search position advances PAST each
+    sliced body so the lazy `<<...>>stream` pattern can never anchor on
+    `<<`/`stream` byte sequences inside a previous stream's compressed
+    data and mis-slice the next one."""
+    pos = 0
+    while True:
+        m = _STREAM_HDR_RE.search(payload, pos)
+        if m is None:
+            return
         d = m.group(1)
         lm = _LENGTH_RE.search(d)
         if not lm:
+            pos = m.end()
             continue
-        body = payload[m.end():m.end() + int(lm.group(1))]
+        end = m.end() + int(lm.group(1))
+        body = payload[m.end():end]
+        pos = end
         if b"/FlateDecode" in d:
             try:
                 body = zlib.decompress(body)

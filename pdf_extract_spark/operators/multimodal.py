@@ -91,8 +91,10 @@ def decode_media(media: DataFrame, num_partitions: int | None = None) -> DataFra
     if num_partitions:
         n_bytes = F.coalesce(F.length("payload"), F.lit(0))
         big = df.filter(n_bytes > 1 << 20).repartition(num_partitions)
+        # hash the column directly — repartitioning on a precomputed bucket
+        # id re-hashes it (balls-in-bins skew; see extract.salted_repartition)
         small = df.filter(n_bytes <= 1 << 20).repartition(
-            num_partitions, F.pmod(F.xxhash64("media_id"), F.lit(num_partitions)))
+            num_partitions, F.col("media_id"))
         df = small.unionByName(big)
     return df.mapInPandas(_meta_batches, schema=META_SCHEMA)
 

@@ -142,9 +142,17 @@ def run_analysis(spark: SparkSession, extracted: DataFrame,
                  out_dir: str) -> dict:
     """Analyze extracted docs and write the report table partitioned by
     lang (S6: partitioned sink replaces outputs/*.json files)."""
+    # one narrow pass: serialize the report inline rather than joining
+    # report_json(analyzed) back (a self-join would recompute the whole
+    # analysis kernel once per branch plus an unneeded shuffle)
     analyzed = analyze_extracted(extracted)
-    reports = report_json(analyzed).join(
-        analyzed.drop("summary"), ["url", "lang"])
+    reports = analyzed.withColumn(
+        "report",
+        F.to_json(F.struct(
+            "url", "summary",
+            F.struct("names", "dates", "locations", "numbers").alias("entities"),
+            F.struct("confidence", "verified").alias("verified_data"),
+        ))).drop("summary")
     reports.write.partitionBy("lang").mode("overwrite").parquet(
         os.path.join(out_dir, "reports"))
     written = spark.read.parquet(os.path.join(out_dir, "reports"))

@@ -77,9 +77,14 @@ def search_index(spark: SparkSession, index_path: str, query_text: str,
               .select("url", "chunk_idx", "chunk",
                       F.expr(f"1.0 / (1.0 + {l2})").alias("score")))
     broad_k = max(4 * k, 15)
+    # over-fetch via orderBy().limit() → TakeOrderedAndProject (distributed
+    # partial top-k), NEVER a global row_number window (which would collapse
+    # the whole index into one partition); rn is then assigned on the tiny
+    # broad_k-row result.
+    broad = scored.orderBy(F.desc("score"), F.asc("url"),
+                           F.asc("chunk_idx")).limit(broad_k)
     w = Window.orderBy(F.desc("score"), F.asc("url"), F.asc("chunk_idx"))
-    broad = (scored.withColumn("rn", F.row_number().over(w))
-             .filter(F.col("rn") <= broad_k))
+    broad = broad.withColumn("rn", F.row_number().over(w))
     # adaptive cut: keep ≥60% of top score, clamp to [max(k//2,2), 2k]
     top = broad.agg(F.max("score").alias("t"))
     kept = (broad.crossJoin(F.broadcast(top))

@@ -62,11 +62,19 @@ def _cleanup_uncommitted(extracted_dir: str, committed: set[str]) -> list[str]:
     without touching committed data. (Local-FS listing here; on a real
     cluster this is the same operation through the Hadoop FS API, and an
     Iceberg writer would make the whole run one transaction instead.)"""
+    from urllib.parse import unquote
+
     removed = []
     if not os.path.isdir(extracted_dir):
         return removed
     for name in os.listdir(extracted_dir):
-        if name.startswith("run_id=") and name.split("=", 1)[1] not in committed:
+        if not name.startswith("run_id="):
+            continue
+        # Spark percent-escapes partition values in directory names
+        # (run_id='run 1' → 'run_id=run%201') — unescape before comparing,
+        # or committed runs would be wrongly treated as crashed
+        run_id = unquote(name.split("=", 1)[1])
+        if run_id not in committed:
             shutil.rmtree(os.path.join(extracted_dir, name), ignore_errors=True)
             removed.append(name)
     return removed

@@ -61,15 +61,27 @@ scored AS (
 )"""
 
 
+MAX_CHUNKS_PER_DOC = 4096  # mirror of the oracle's range() cap
+
+
 def fixed_chunks(docs: DataFrame) -> DataFrame:
-    """documents → (doc_id, chunk_idx, chunk): narrow explode, no shuffle."""
-    n = F.expr(f"CAST(ceil(length(text) / {STRIDE}.0) AS BIGINT)")
+    """documents → (doc_id, chunk_idx, chunk): narrow explode, no shuffle.
+
+    Guards matching the oracle exactly: Spark's sequence(0, -1) would yield
+    [0, -1] for empty text (phantom rows the oracle never emits), so the
+    sequence is floored at one element and the oracle's `i*STRIDE <
+    length(text)` predicate is applied as a filter; the oracle's 4096-index
+    cap is mirrored too."""
+    n = F.expr(
+        f"least(greatest(CAST(ceil(length(text) / {STRIDE}.0) AS BIGINT), 1),"
+        f" {MAX_CHUNKS_PER_DOC})")
     return (
         docs.select(
             "doc_id",
             F.explode(F.sequence(F.lit(0).cast("bigint"), n - 1)).alias("chunk_idx"),
             "text",
         )
+        .filter(F.expr(f"chunk_idx * {STRIDE} < length(text)"))
         .select(
             "doc_id",
             "chunk_idx",

@@ -60,8 +60,10 @@ def stream_event_rollup(
     watermark: str = "2 hours",
 ) -> tuple[StreamingQuery, str]:
     """Watermarked tumbling-window rollup over an events file stream —
-    late rows beyond the watermark are dropped, state is bounded (the
-    streaming form of relational.events_hourly_rollup).
+    update output mode, so the watermark actually evicts window state and
+    drops late rows (complete mode would retain all state forever and
+    ignore the watermark for dropping) — the streaming form of
+    relational.events_hourly_rollup.
 
     Results land in an in-memory sink table; returns (query, table_name)."""
     events = (
@@ -86,7 +88,7 @@ def stream_event_rollup(
         .format("memory")
         .queryName(name)
         .option("checkpointLocation", checkpoint_dir)
-        .outputMode("complete")
+        .outputMode("update")
         .trigger(availableNow=True)
         .start()
     )

@@ -24,13 +24,15 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUT_SCHEMA = "url string, url_sha string, first_seen_batch long"
-STATE_SCHEMA = "seen array<string>"
+STATE_SCHEMA = "seen array<string>, n_batches long"
 
 
 def _dedup_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
               state: GroupState) -> Iterator[pd.DataFrame]:
-    seen: set[str] = set(state.get[0]) if state.exists else set()
-    batch_id = 0
+    if state.exists:
+        seen, batch_id = set(state.get[0]), int(state.get[1])
+    else:
+        seen, batch_id = set(), 0
     out_urls, out_shas = [], []
     for pdf in pdfs:
         for url, sha in zip(pdf["url"], pdf["url_sha"]):
@@ -38,7 +40,7 @@ def _dedup_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
                 seen.add(sha)
                 out_urls.append(url)
                 out_shas.append(sha)
-    state.update((sorted(seen),))
+    state.update((sorted(seen), batch_id + 1))
     if out_urls:
         yield pd.DataFrame({"url": out_urls, "url_sha": out_shas,
                             "first_seen_batch": [batch_id] * len(out_urls)})

@@ -284,3 +284,22 @@ def test_entity_sanitation_idempotent():
     for cat, vals in ents.items():
         assert vals == sorted(set(vals)), cat
         assert _sanitize(vals) == vals, cat
+
+
+def test_fast_tokenizer_edge_cases_match_reference():
+    """Review-found divergences, now fixed: bare '<' in prose is text (not
+    a tag), and XHTML self-closing tags don't split or drop blocks."""
+    from pdf_extract_spark.kernels.html_extract import (
+        _collect_blocks,
+        _collect_blocks_reference,
+    )
+
+    cases = [
+        "<p>price is 3 < y and 7 > 2 tested here today ok</p>",
+        "<p>hello there <svg/> world again ok fine</p>",
+        "<p>mixed <br/> break and <iframe/> inline content here</p>",
+        "<div>a < b</div><p>real paragraph with enough words here</p>",
+        "<p>self closed para</p><p/><p>another real one with words</p>",
+    ]
+    for html in cases:
+        assert _collect_blocks(html) == _collect_blocks_reference(html), html
