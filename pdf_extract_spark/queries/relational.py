@@ -381,3 +381,105 @@ def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("p_size").alias("max_size"),
         )
     )
+
+
+@register(
+    "median_order_value",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE) AS median_price,
+           CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE) AS p90_price,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregate: exact interpolated percentiles (both engines
+    implement the same continuous-quantile interpolation over sorted
+    values; the raw parquet doubles interpolate identically)."""
+    orders = tbl(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.expr("CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+               " AS DOUBLE)").alias("median_price"),
+        F.expr("CAST(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice)"
+               " AS DOUBLE)").alias("p90_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "above_avg_customers",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal FROM customer c
+    WHERE CAST(c_acctbal AS DECIMAL(12,2)) > (
+      SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+             / COUNT(*)
+      FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (customers above their nation's average
+    balance) — Catalyst decorrelates it into an aggregate + join; exact
+    decimal averaging keeps the threshold engine-identical."""
+    cust = tbl(spark, sf_dir, "customer")
+    return spark.sql("""
+        SELECT c_custkey, c_nationkey, c_acctbal FROM {c} c
+        WHERE CAST(c_acctbal AS DECIMAL(12,2)) > (
+          SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(*)
+          FROM {c} c2 WHERE c2.c_nationkey = c.c_nationkey)
+    """, c=cust)
+
+
+@register(
+    "user_set_ops",
+    oracle="""
+    SELECT 'both' AS segment, user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'error') a
+    UNION ALL
+    SELECT 'purchase_only', user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'error') b
+    """,
+)
+def user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-family at SQL level (SURVEY §2.6): INTERSECT / EXCEPT / UNION ALL
+    over user cohorts."""
+    ev = tbl(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    errs = ev.filter(F.col("event_type") == "error").select("user_id")
+    both = purch.intersect(errs).select(F.lit("both").alias("segment"),
+                                        "user_id")
+    # subtract = set EXCEPT (exceptAll is bag semantics: a user with 3
+    # purchases and 1 error would survive it — not what EXCEPT means)
+    only = purch.subtract(errs).select(
+        F.lit("purchase_only").alias("segment"), "user_id")
+    return both.unionByName(only)
+
+
+@register(
+    "events_pivot",
+    oracle="""
+    SELECT user_id % 10 AS cohort,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup
+    FROM events GROUP BY user_id % 10
+    """,
+)
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide rollup): one pass, conditional aggregates per event type
+    (the FILTER form keeps both engines in plain hash-agg, no pivot
+    operator needed)."""
+    ev = tbl(spark, sf_dir, "events")
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+        for t in ("view", "click", "purchase", "error", "signup")
+    ]
+    return (ev.groupBy((F.col("user_id") % 10).alias("cohort"))
+            .agg(*aggs))
