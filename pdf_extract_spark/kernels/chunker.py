@@ -61,19 +61,28 @@ def split_text(
     pieces = _recursive_pieces(text, chunk_size, SEPARATORS)
     chunks: list[str] = []
     cur: list[str] = []
+    start = 0  # logical head of cur (two-pointer: no O(n) pop(0) shifts)
     cur_len = 0
     for piece in pieces:
-        if cur and cur_len + len(piece) > chunk_size:
-            chunk = "".join(cur).strip()
+        if cur_len and cur_len + len(piece) > chunk_size:
+            chunk = "".join(cur[start:]).strip()
             if chunk:
                 chunks.append(chunk)
-            # carry overlap: drop head pieces until tail ≤ overlap
-            while cur and cur_len > chunk_overlap:
-                dropped = cur.pop(0)
-                cur_len -= len(dropped)
+            # carry overlap: drop head pieces while the tail exceeds the
+            # overlap OR would still not fit with the incoming piece (the
+            # second clause keeps every emitted chunk ≤ chunk_size)
+            while start < len(cur) and cur_len > 0 and (
+                cur_len > chunk_overlap
+                or cur_len + len(piece) > chunk_size
+            ):
+                cur_len -= len(cur[start])
+                start += 1
+            if start > 4096:  # amortized head compaction
+                cur = cur[start:]
+                start = 0
         cur.append(piece)
         cur_len += len(piece)
-    tail = "".join(cur).strip()
+    tail = "".join(cur[start:]).strip()
     if tail:
         chunks.append(tail)
     return chunks

@@ -120,15 +120,29 @@ _HEADINGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 # the tag early.
 
 # A tag opens only when '<' (or '</') is immediately followed by a letter —
-# matching html.parser, which leaves '3 < y' prose as text.
+# matching html.parser, which leaves '3 < y' prose as text. An unterminated
+# '<!--' (no '-->') matches to end-of-input and is re-emitted as text data,
+# again matching html.parser's end-of-feed behavior.
 _TOKEN_RE = re.compile(
     r"<!--.*?-->"
+    r"|(<!--.*)"
     r"|<!\[CDATA\[.*?\]\]>"
     r"|<![^>]*>"
     r"|<\?[^>]*>"
-    r"|<(/?)([a-zA-Z][a-zA-Z0-9-]*)[^>]*?(/?)\s*>",
+    r"|<(/?)([a-zA-Z][a-zA-Z0-9-]*)([^>]*?)\s*>",
     re.DOTALL,
 )
+
+
+def _is_selfclose(attrs: str) -> bool:
+    """html.parser treats '/' before '>' as a self-close marker ONLY when it
+    is not part of an unquoted attribute value (attrfind consumes '/' into
+    values like href=http://x/): self-closing iff the attr region is just
+    '/' or the '/' follows whitespace or a closing quote."""
+    t = attrs.rstrip()
+    if not t.endswith("/"):
+        return False
+    return len(t) == 1 or t[-2] in " \t\n\r\"'"
 _RAWTEXT = frozenset({"script", "style"})
 _WS_ONLY = re.compile(r"\s+")
 
@@ -174,9 +188,29 @@ def _collect_blocks(html: str) -> list[tuple[str, int, int, str]]:
                 if a_depth:
                     linked += len("".join(data.split()))
         pos = m.end()
-        closing, name, selfclose = m.group(1), m.group(2), m.group(3)
+        if m.group(1) is not None:
+            # unterminated comment: html.parser (goahead, end=1) emits data
+            # up to AND INCLUDING the next '>' (else next '<', else one
+            # char), then resumes normal parsing — mirror that exactly
+            k = html.find(">", m.start() + 1)
+            if k < 0:
+                k2 = html.find("<", m.start() + 1)
+                k = k2 if k2 >= 0 else m.start() + 1
+            else:
+                k += 1
+            data = html[m.start():k]
+            if not drop_depth:
+                if "&" in data:
+                    data = _unescape(data)
+                parts.append(data)
+                if a_depth:
+                    linked += len("".join(data.split()))
+            pos = k
+            continue
+        closing, name = m.group(2), m.group(3)
         if name is None:  # comment / doctype / PI
             continue
+        selfclose = _is_selfclose(m.group(4) or "")
         tag = name.lower()
         if selfclose and not closing:
             # XHTML self-closing: the reference collector's
@@ -263,8 +297,9 @@ def extract_main_text(html: str) -> str:
         if kept_flags[i]:
             out.append(text)
         elif tag in _HEADINGS and linked == 0:
-            nxt = next((j for j in range(i + 1, len(blocks)) if blocks[j][1] > 0), None)
-            if nxt is not None and kept_flags[nxt]:
+            # keep a heading that introduces kept content (blocks are never
+            # empty — flush() drops blanks — so "next" is simply i+1)
+            if i + 1 < len(blocks) and kept_flags[i + 1]:
                 out.append(text)
     return "\n\n".join(out).strip()
 

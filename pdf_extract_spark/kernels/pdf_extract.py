@@ -294,7 +294,12 @@ def extract_pdf_text(payload: bytes) -> tuple[str | None, str | None]:
     for body in _iter_streams(payload):
         if body is None:
             return None, "bad_flate_stream"
-        spans = _parse_spans(body)
+        try:
+            spans = _parse_spans(body)
+        except Exception:
+            # malformed operands (e.g. a string where Td expects a number)
+            # must quarantine, never crash the task (error-row contract)
+            return None, "content_stream_parse_error"
         if spans:
             pages.append(_page_text(spans))
     text = "\n\n".join(pages).strip()

@@ -17,11 +17,9 @@ GROUP_TOKEN_BUDGET = 150_000  # agents.py:413-416
 _SENT_RE = re.compile(r"[^.!?]+[.!?]?")
 _WORD_RE = re.compile(r"[A-Za-z']+")
 
-_STOPWORDS = frozenset(
-    "a an and are as at be by for from has he in is it its of on that the to "
-    "was were will with this these those i you they we she his her their our "
-    "not no or but if then than so do does did have had been being".split()
-)
+# the kernels package's single English stopword list (textstats also keys
+# its language profiles off it) — one definition, no drift between kernels
+from .textstats import EN_STOPWORDS as _STOPWORDS  # noqa: E402
 
 
 def token_estimate(text: str) -> int:

@@ -14,9 +14,15 @@ from .embed import fnv1a64
 
 _WORD_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
 
+# the package's shared English stopword list (summarize imports it too)
+EN_STOPWORDS = frozenset(
+    "the and of to in is it you that was for on are with as at be this have "
+    "from or had by word but not what all were when your can said there use "
+    "each which she how their".split())
+
 # tiny deterministic stopword profiles for the 5 fixture languages
 _LANG_STOPWORDS: dict[str, frozenset[str]] = {
-    "en": frozenset("the and of to in is it you that was for on are with as at be this have from or had by word but not what all were when your can said there use each which she how their".split()),
+    "en": EN_STOPWORDS,
     "fr": frozenset("le la les de des du et un une est que qui dans pour sur avec ne pas au aux ce cette il elle nous vous ils sont été être plus mais ou donc car si".split()),
     "es": frozenset("el la los las de del y un una es que en por para con no se su al lo como más pero sus le ya o este sí porque esta entre cuando muy sin sobre".split()),
     "de": frozenset("der die das und von zu den dem ein eine ist nicht mit sich des auf für im als auch es an werden aus er hat dass sie nach wird bei einer um am sind noch wie".split()),
@@ -25,7 +31,8 @@ _LANG_STOPWORDS: dict[str, frozenset[str]] = {
 
 def detect_language(text: str) -> str:
     """Heuristic language ID over {en,fr,es,de,zh}: CJK char ratio → zh,
-    else argmax stopword hit-rate; ties and no-signal default to en."""
+    else argmax stopword hit-rate (ties resolve to the first language in
+    the fixed probe order, i.e. en); zero stopword hits → 'und'."""
     if not text:
         return "und"
     cjk = sum(1 for ch in text if "一" <= ch <= "鿿")
@@ -92,8 +99,13 @@ def simhash64(text: str) -> int:
     import numpy as np
 
     hs = np.array([fnv1a64(t.encode("utf-8")) for t in toks], dtype=np.uint64)
-    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    shifts = np.arange(64, dtype=np.uint64)
+    acc = np.zeros(64, dtype=np.int64)
+    # batch the n×64 bit matrix: O(batch·64) transient memory, not O(n·64)
+    # (a million-token document would otherwise allocate ~1.5 GB)
+    for lo in range(0, len(hs), 8192):
+        bits = (hs[lo:lo + 8192, None] >> shifts) & np.uint64(1)
+        acc += (2 * bits.astype(np.int64) - 1).sum(axis=0)
     out_bits = np.nonzero(acc > 0)[0]
     return int(sum(1 << int(b) for b in out_bits))
 

@@ -303,3 +303,52 @@ def test_fast_tokenizer_edge_cases_match_reference():
     ]
     for html in cases:
         assert _collect_blocks(html) == _collect_blocks_reference(html), html
+
+
+def test_second_review_regressions():
+    """Fixes from the kernel-focused review pass."""
+    from pdf_extract_spark.kernels.chunker import split_text
+    from pdf_extract_spark.kernels.html_extract import (
+        _collect_blocks,
+        _collect_blocks_reference,
+    )
+    from pdf_extract_spark.kernels.pdf_extract import extract_pdf_text
+    from pdf_extract_spark.kernels.textstats import simhash64
+
+    # chunker: emitted chunks can never exceed chunk_size
+    chunks = split_text("a" * 1798 + "\n\n" + "b" * 148 + "\n\n" + "c" * 1898,
+                        2000, 200)
+    assert all(len(c) <= 2000 for c in chunks), [len(c) for c in chunks]
+
+    # tokenizer: unquoted attribute value ending in '/' is NOT self-closing
+    # (bare-URL anchors must count as linked chars)
+    h1 = ('<div><a href=http://example.com/>click here now</a> plus real '
+          'body prose that stays</div>')
+    assert _collect_blocks(h1) == _collect_blocks_reference(h1)
+
+    # tokenizer: unterminated comment → remainder is data, like html.parser
+    h2 = ("<p>good paragraph with plenty of words here</p>"
+          "<!-- oops <p>ghost block content here</p>")
+    assert _collect_blocks(h2) == _collect_blocks_reference(h2)
+
+    # pdf: malformed operands quarantine instead of crashing
+    bad = (b"%PDF-1.4\n<< /Length 21 >>\nstream\n"
+           b"BT (x) (y) Td (z) Tj\nendstream\n%%EOF")
+    text, err = extract_pdf_text(bad)
+    assert err == "content_stream_parse_error" and text is None
+
+    # simhash: batched accumulation is value-identical to the direct form
+    t = "spark engine data " * 3000
+    def ref(text):
+        from pdf_extract_spark.kernels.embed import fnv1a64
+        acc = [0] * 64
+        for tok in text.lower().split():
+            h = fnv1a64(tok.encode())
+            for b in range(64):
+                acc[b] += 1 if (h >> b) & 1 else -1
+        out = 0
+        for b in range(64):
+            if acc[b] > 0:
+                out |= 1 << b
+        return out
+    assert simhash64(t) == ref(t)
