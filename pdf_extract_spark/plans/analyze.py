@@ -32,6 +32,17 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+# F9 FinalOutput shape — ONE definition shared by report_json() (the
+# oracle-checked query face) and run_analysis() (the written table).
+# A function, not a module constant: building a Column requires an active
+# SparkSession, which doesn't exist at import time.
+def report_json_expr():
+    return F.to_json(F.struct(
+        "url", "summary",
+        F.struct("names", "dates", "locations", "numbers").alias("entities"),
+        F.struct("confidence", "verified").alias("verified_data"),
+    ))
+
 REPORT_SCHEMA = (
     "url string, lang string, summary string, "
     "names array<string>, dates array<string>, locations array<string>, "
@@ -97,14 +108,7 @@ def analyze_extracted(extracted: DataFrame) -> DataFrame:
 def report_json(analyzed: DataFrame) -> DataFrame:
     """F9: FinalOutput-shaped JSON per doc via to_json(struct(...)) —
     explicit schema, no free-form serialization (agents.py:938-969)."""
-    return analyzed.select(
-        "url", "lang",
-        F.to_json(F.struct(
-            "url", "summary",
-            F.struct("names", "dates", "locations", "numbers").alias("entities"),
-            F.struct("confidence", "verified").alias("verified_data"),
-        )).alias("report"),
-    )
+    return analyzed.select("url", "lang", report_json_expr().alias("report"))
 
 
 def _rollup_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -144,15 +148,13 @@ def run_analysis(spark: SparkSession, extracted: DataFrame,
     lang (S6: partitioned sink replaces outputs/*.json files)."""
     # one narrow pass: serialize the report inline rather than joining
     # report_json(analyzed) back (a self-join would recompute the whole
-    # analysis kernel once per branch plus an unneeded shuffle)
-    analyzed = analyze_extracted(extracted)
-    reports = analyzed.withColumn(
-        "report",
-        F.to_json(F.struct(
-            "url", "summary",
-            F.struct("names", "dates", "locations", "numbers").alias("entities"),
-            F.struct("confidence", "verified").alias("verified_data"),
-        ))).drop("summary")
+    # analysis kernel once per branch plus an unneeded shuffle); NULL lang
+    # becomes 'und' so the partition value (and the summary sort below)
+    # never deals with None
+    analyzed = analyze_extracted(extracted).withColumn(
+        "lang", F.coalesce("lang", F.lit("und")))
+    reports = (analyzed.withColumn("report", report_json_expr())
+               .drop("summary"))
     reports.write.partitionBy("lang").mode("overwrite").parquet(
         os.path.join(out_dir, "reports"))
     written = spark.read.parquet(os.path.join(out_dir, "reports"))

@@ -45,12 +45,27 @@ LINEAGE_SCHEMA = ("run_id string, partition_id int, n_in long, n_out long, "
 
 def _committed_run_ids(spark: SparkSession, lineage_dir: str) -> set[str]:
     """Runs whose lineage exists are committed: lineage is the LAST write
-    of a run, so its presence proves the data write completed."""
-    try:
-        return {r["run_id"] for r in (spark.read.parquet(lineage_dir)
-                                      .select("run_id").distinct().collect())}
-    except Exception:
+    of a run, so its presence proves the data write completed.
+
+    Read file-by-file: a torn lineage file belongs to a run that crashed
+    DURING its lineage write (still uncommitted) — it must not poison the
+    whole-directory read, or every committed run would look uncommitted
+    and be wrongly deleted. Torn files are removed (their run's data is
+    cleaned up too) so later whole-directory reads stay healthy."""
+    if not os.path.isdir(lineage_dir):
         return set()
+    committed: set[str] = set()
+    for name in sorted(os.listdir(lineage_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        path = os.path.join(lineage_dir, name)
+        try:
+            import pyarrow.parquet as pq
+            col = pq.read_table(path, columns=["run_id"]).column("run_id")
+            committed.update(col.to_pylist())
+        except Exception:
+            os.remove(path)  # torn file from a crashed lineage write
+    return committed
 
 
 def _cleanup_uncommitted(extracted_dir: str, committed: set[str]) -> list[str]:
@@ -120,11 +135,18 @@ def run_extraction(
 
     # run-level commit protocol: drop data from runs that crashed before
     # their lineage (= commit marker) was written
-    _cleanup_uncommitted(extracted_dir,
-                         _committed_run_ids(spark, lineage_dir))
+    committed = _committed_run_ids(spark, lineage_dir)
+    _cleanup_uncommitted(extracted_dir, committed)
+    if run_id in committed:
+        # re-using a committed run_id would re-append its lineage rows and
+        # double the audit counters — require a fresh id per invocation
+        raise ValueError(
+            f"run_id {run_id!r} is already committed in {out_dir}; "
+            "use a new run_id for each invocation (resume is automatic)")
 
     done = _read_urls(spark, extracted_dir)
     todo = pages
+    snap_dir = None
     if done is not None:
         # Snapshot the committed-url set to a staging dir: the extraction plan
         # must NOT read the directory it appends to — Spark refreshes/invalidates
@@ -144,6 +166,9 @@ def run_extraction(
     # run_id is a directory partition too: the lineage re-read below and any
     # later per-run audit prune straight to this run's files
     ext.write.partitionBy("run_id", "status").mode("append").parquet(extracted_dir)
+    if snap_dir is not None:
+        # the resume snapshot is only needed while the plan above executes
+        shutil.rmtree(snap_dir, ignore_errors=True)
 
     # lineage from a column-pruned re-read of what was just committed
     staged = (spark.read.parquet(extracted_dir)

@@ -283,7 +283,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases AS (
       SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
     SELECT p.event_id, p.user_id,
-           epoch_ms(p.ts) - epoch_ms(e.err_ts) AS ms_since_error
+           epoch_us(p.ts) - epoch_us(e.err_ts) AS us_since_error
     FROM purchases p
     ASOF LEFT JOIN errors e
       ON p.user_id = e.user_id AND p.ts >= e.err_ts
@@ -321,9 +321,12 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 F.col("event_id").cast("bigint").alias("event_id"),
                 "user_id",
-                (F.unix_millis(F.col("ets").cast("timestamp"))
-                 - F.unix_millis(F.col("last_err_ts").cast("timestamp")))
-                .alias("ms_since_error")))
+                # timestampdiff on the NTZ values — timezone-free, matching
+                # DuckDB's naive epoch_us (an NTZ→LTZ cast + unix_millis
+                # would shift across DST in non-UTC sessions); microseconds,
+                # because ms would floor each side differently than the diff
+                F.expr("timestampdiff(MICROSECOND, last_err_ts, ets)")
+                .alias("us_since_error")))
 
 
 @register(

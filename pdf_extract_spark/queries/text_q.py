@@ -341,16 +341,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join candidates (Hamming ≤ 3 pairs must share ≥1 band) — the
     standard Manku/Jain/Sarma web-dedup shape; no cross join."""
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    # persist: the band table feeds both sides of the candidate self-join —
+    # without it the simhash kernel would run once per subtree (the same
+    # materialization rule dedup_q applies to its signature tables); band
+    # rows come from ONE posexplode, not four unioned projections.
     sig = docs.mapInPandas(
         _simhash_schema_rows,
         schema=("doc_id long, simhash string, band0 long, band1 long, "
                 "band2 long, band3 long"),
-    )
-    bands = None
-    for b in range(4):
-        part = sig.select("doc_id", "simhash", F.lit(b).alias("b"),
-                          F.col(f"band{b}").alias("band_key"))
-        bands = part if bands is None else bands.unionByName(part)
+    ).persist()
+    bands = sig.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array("band0", "band1", "band2", "band3"))
+        .alias("b", "band_key"))
     x, y = bands.alias("x"), bands.alias("y")
     return (
         x.join(y, (F.col("x.b") == F.col("y.b"))
