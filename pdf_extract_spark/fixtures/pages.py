@@ -34,6 +34,13 @@ def _h(i: int, salt: str) -> int:
     return fnv1a64(f"{salt}:{i}".encode())
 
 
+def _hs(salt: str, *parts: int) -> int:
+    """Collision-free multi-index hash: ':'-joined encoding, so
+    (i, j) and (i', j') can never alias the way arithmetic mixes like
+    i*10_000 + j*100 + k did across neighboring documents."""
+    return fnv1a64((salt + ":" + ":".join(map(str, parts))).encode())
+
+
 def _lang_for(i: int) -> str:
     r = _h(i, "lang") % 100
     acc = 0
@@ -46,15 +53,15 @@ def _lang_for(i: int) -> str:
 
 def _sentence(i: int, j: int, lang: str) -> str:
     pool = {"fr": _FR, "es": _ES, "de": _DE, "zh": _ZH}.get(lang, _WORDS)
-    n = 8 + _h(i * 1000 + j, "slen") % 10
-    words = [pool[_h(i * 10_000 + j * 100 + k, "w") % len(pool)] for k in range(n)]
+    n = 8 + _hs("slen", i, j) % 10
+    words = [pool[_hs("w", i, j, k) % len(pool)] for k in range(n)]
     if lang == "zh":
         return "".join(words) + "。"
     return " ".join(words).capitalize() + "."
 
 
 def _paragraph(i: int, p: int, lang: str, n_sents: int) -> str:
-    return " ".join(_sentence(i, p * 50 + s, lang) for s in range(n_sents))
+    return " ".join(_sentence(i, p * 1000 + s, lang) for s in range(n_sents))
 
 
 def make_html(i: int, lang: str, oversized: bool = False) -> bytes:
@@ -68,7 +75,7 @@ def make_html(i: int, lang: str, oversized: bool = False) -> bytes:
     )
     n_paras = (3 + _h(i, "np") % 5) * (12 if oversized else 1)
     paras = "".join(
-        f"<p>{_paragraph(i, p, lang, 3 + _h(i * 7 + p, 'ns') % 4)}</p>"
+        f"<p>{_paragraph(i, p, lang, 3 + _hs('ns', i, p) % 4)}</p>"
         for p in range(n_paras)
     )
     sidebar = "".join(f'<li><a href="/rel{k}">related item {k}</a></li>' for k in range(10))
@@ -84,7 +91,7 @@ def make_html(i: int, lang: str, oversized: bool = False) -> bytes:
     return html.encode("utf-8")
 
 
-FIXTURE_VERSION = 2  # bump when payload synthesis changes (bench caches key on it)
+FIXTURE_VERSION = 3  # bump when payload synthesis changes (bench caches key on it)
 
 
 def make_pdf(i: int, lang: str) -> bytes:
@@ -172,12 +179,21 @@ def pages_df(spark, n: int, partitions: int = 8):
     ])
 
     def gen(iterator):
+        # yield bounded frames (≤2048 rows), never a whole index range at
+        # once: a 100k-row range with multi-KB payloads as one pandas frame
+        # would hold hundreds of MB per task before Arrow copies it again
         for pdf in iterator:
             for _, r in pdf.iterrows():
-                rows = make_rows(int(r["hi"]) - int(r["lo"]), start=int(r["lo"]))
-                yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+                lo, hi = int(r["lo"]), int(r["hi"])
+                for a in range(lo, hi, 2048):
+                    rows = make_rows(min(2048, hi - a), start=a)
+                    yield pd.DataFrame(
+                        rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
+    # round-robin (no columns): hashing the k distinct `lo` values into k
+    # partitions is a balls-in-bins throw leaving ~1/e of the generator
+    # partitions empty (see operators/extract.salted_repartition)
     bounds_df = spark.createDataFrame(
         [(a, b) for a, b in bounds], "lo long, hi long"
-    ).repartition(len(bounds), "lo")
+    ).repartition(len(bounds))
     return bounds_df.mapInPandas(gen, schema=schema)

@@ -7,10 +7,10 @@ calling the same pure kernel (`kernels.decode.decode_payload`) that produces
 the single-node golden SHA-256s, so distributed output is byte-identical by
 construction; tests assert it stays that way under any partitioning.
 
-Skew handling (SURVEY.md O7): oversized payloads (long-tail Zipf) are
-round-robin repartitioned so no partition holds more than
-ceil(n_big / P) heavy rows, while the small majority hash-partitions on
-xxhash64(url). AQE cannot fix map-side payload skew, so this is explicit.
+Skew handling (SURVEY.md O7): payloads spread by unique-url hash — at
+scale statistically round-robin for the oversized tail (see
+salted_repartition). AQE cannot fix map-side payload skew, so this is
+explicit.
 """
 
 from __future__ import annotations
@@ -25,26 +25,27 @@ EXTRACT_SCHEMA = (
     "text string, text_sha256 string, n_bytes long, error string"
 )
 
-BIG_PAYLOAD_BYTES = 64 * 1024  # size-bucket threshold for salted spread
-
-
 def salted_repartition(df: DataFrame, num_partitions: int,
-                       big_bytes: int = BIG_PAYLOAD_BYTES) -> DataFrame:
-    """Two-class partitioning: heavy rows round-robin (exact byte balance of
-    the long tail), light rows by url-hash (uniform, deterministic co-location
-    for downstream per-url ops). Union is narrow — no extra shuffle.
+                       key: str = "url") -> DataFrame:
+    """Skew-spreading repartition on the key hash (BASELINE.json north_star:
+    'salted repartitioning on url-hash to break skew from oversized
+    documents'): ONE scan, ONE shuffle, exactly num_partitions outputs.
 
-    Hash directly on `url` — NOT on a precomputed pmod(xxhash64(url), n)
-    bucket id: repartition hashes its expression again, and re-hashing n
-    distinct bucket ids into n partitions is a balls-in-bins throw (~1/e of
-    the partitions empty, others 2-3 buckets) — a 3× straggler skew that
-    halves scaling efficiency."""
-    n_bytes = F.coalesce(F.length(F.col("html")), F.lit(0))
-    big = (df.filter(n_bytes > big_bytes)
-             .repartition(num_partitions))  # round-robin spread of heavy rows
-    small = (df.filter(n_bytes <= big_bytes)
-               .repartition(num_partitions, F.col("url")))
-    return small.unionByName(big)
+    Why plain key-hash suffices for the oversized tail: keys are unique, so
+    heavy rows land uniformly at random; with B heavy rows over P
+    partitions the relative load deviation is ~sqrt(P/B) — at design scale
+    (B ≈ 10⁹ oversized docs, P ≈ 10⁵) statistically indistinguishable from
+    round-robin, and measured balanced at sandbox scale (test-gated). An
+    earlier two-class variant (filter big/small, round-robin the big rows)
+    gave exact balance but scanned the payload column twice and produced
+    2×P partitions — worse at 100 TB than the hash spread it replaced.
+
+    Hash directly on the key column — NOT on a precomputed
+    pmod(xxhash64(key), n) bucket id: repartition hashes its expression
+    again, and re-hashing n distinct bucket ids into n partitions is a
+    balls-in-bins throw (~1/e of partitions empty, others 2-3 buckets) — a
+    3× straggler skew that halves scaling efficiency."""
+    return df.repartition(num_partitions, F.col(key))
 
 
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -87,15 +87,11 @@ def decode_media(media: DataFrame, num_partitions: int | None = None) -> DataFra
     """media(media_id, kind, payload) → typed metadata table. Same
     size-salted partitioning discipline as the text extract operator
     (operators/extract.py): oversized payloads round-robin, rest by id-hash."""
+    from .extract import salted_repartition
+
     df = media.select("media_id", "payload")
     if num_partitions:
-        n_bytes = F.coalesce(F.length("payload"), F.lit(0))
-        big = df.filter(n_bytes > 1 << 20).repartition(num_partitions)
-        # hash the column directly — repartitioning on a precomputed bucket
-        # id re-hashes it (balls-in-bins skew; see extract.salted_repartition)
-        small = df.filter(n_bytes <= 1 << 20).repartition(
-            num_partitions, F.col("media_id"))
-        df = small.unionByName(big)
+        df = salted_repartition(df, num_partitions, key="media_id")
     return df.mapInPandas(_meta_batches, schema=META_SCHEMA)
 
 
@@ -145,10 +141,16 @@ def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             if err or meta["kind"] != "video" or meta["n_frames"] <= 0:
                 continue
             samples = meta["samples"]
-            stride = max(len(samples) // max(meta["n_frames"], 1), 1)
+            # the container caps the sample region (4096 bytes in the stub
+            # format): never address frames past the real payload — they
+            # would all hash the empty slice to one digest, collapsing dedup
+            n_eff = min(meta["n_frames"], len(samples))
+            stride = max(len(samples) // max(n_eff, 1), 1)
             # sample every 4th frame (uniform temporal sampling)
-            for idx in range(0, meta["n_frames"], 4):
+            for idx in range(0, n_eff, 4):
                 off = idx * stride
+                if off >= len(samples):
+                    break
                 chunk = samples[off:off + stride].tobytes()
                 rows["media_id"].append(mid)
                 rows["frame_idx"].append(idx)

@@ -65,7 +65,19 @@ def stream_event_rollup(
     ignore the watermark for dropping) — the streaming form of
     relational.events_hourly_rollup.
 
-    Results land in an in-memory sink table; returns (query, table_name)."""
+    Updates land in an in-memory sink table: one row per (window, type)
+    per micro-batch that touched it, counts cumulative — read the final
+    state with ``rollup_result``. The memory sink cannot recover from a
+    checkpoint (the aggregation state would resume against an empty
+    table), so a fresh ``checkpoint_dir`` is required per rollup session;
+    an existing one raises. Returns (query, table_name)."""
+    import os
+    if os.path.exists(checkpoint_dir):
+        raise ValueError(
+            "stream_event_rollup requires a fresh checkpoint_dir per "
+            "session: the memory sink cannot recover sink contents, so "
+            "resuming aggregation state against an empty table would "
+            "under-report every previously-emitted window")
     events = (
         spark.readStream
         .schema("event_id long, ts timestamp, user_id long, "
@@ -95,13 +107,31 @@ def stream_event_rollup(
     return q, name
 
 
+def rollup_result(spark: SparkSession, table_name: str) -> DataFrame:
+    """Final state of an update-mode rollup: counts per key are cumulative
+    across the per-batch update rows, so the row with the highest n_events
+    per (window, type) is the latest — keep exactly that one."""
+    from pyspark.sql.window import Window
+
+    w = (Window.partitionBy("window_start", "event_type")
+         .orderBy(F.desc("n_events")))
+    return (spark.table(table_name)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn"))
+
+
 def run_incremental(spark: SparkSession, input_dir: str, output_dir: str,
                     checkpoint_dir: str) -> int:
     """Drain the current backlog once (catch-up job shape); returns the
     number of rows now present in the output."""
+    import os
+
     q = stream_extract(spark, input_dir, output_dir, checkpoint_dir)
     q.awaitTermination()
-    try:
-        return spark.read.parquet(output_dir).count()
-    except Exception:
+    # only the nothing-written-yet case maps to 0 — real read failures
+    # (torn files, permissions) must propagate, not masquerade as an
+    # empty backlog
+    if not os.path.isdir(output_dir):
         return 0
+    return spark.read.parquet(output_dir).count()

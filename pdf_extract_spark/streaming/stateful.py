@@ -23,7 +23,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-OUT_SCHEMA = "url string, url_sha string, first_seen_batch long"
+# shard_drain_seq: how many prior drains had delivered data to this url's
+# shard when the url was first seen — a per-shard sequence, NOT a global
+# batch id (shards are only invoked when they receive rows, so the same
+# drain can assign different values in different shards)
+OUT_SCHEMA = "url string, url_sha string, shard_drain_seq long"
 STATE_SCHEMA = "seen array<string>, n_batches long"
 
 
@@ -43,7 +47,7 @@ def _dedup_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
     state.update((sorted(seen), batch_id + 1))
     if out_urls:
         yield pd.DataFrame({"url": out_urls, "url_sha": out_shas,
-                            "first_seen_batch": [batch_id] * len(out_urls)})
+                            "shard_drain_seq": [batch_id] * len(out_urls)})
 
 
 def stream_dedup(pages_stream: DataFrame) -> DataFrame:
@@ -82,7 +86,7 @@ def run_stream_dedup(spark, input_dir: str, output_dir: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
-    try:
-        return spark.read.parquet(output_dir).count()
-    except Exception:
-        return 0
+    import os
+    if not os.path.isdir(output_dir):
+        return 0  # nothing written yet; real read errors must propagate
+    return spark.read.parquet(output_dir).count()

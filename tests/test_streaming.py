@@ -76,10 +76,12 @@ def test_watermarked_rollup(spark, tmp_path_factory):
         " value double, props string"
     ).coalesce(1).write.mode("append").parquet(input_dir)
 
+    from pdf_extract_spark.streaming.ingest import rollup_result
+
     q, table = stream_event_rollup(spark, input_dir,
                                    os.path.join(base, "ckpt"))
     q.awaitTermination()
-    res = spark.table(table).collect()
+    res = rollup_result(spark, table).collect()
     assert res
     # 100 events over ~11.6h → every hour×type bucket sums to the batch truth
     total = sum(r["n_events"] for r in res)
