@@ -19,6 +19,19 @@ Determinism contract shared by every query here (SURVEY.md §7.3 item 1):
   the cutoff is engine-independent.
 - Every computed column is aliased identically in the Spark plan and the
   oracle SQL (driver hashes columns sorted by name).
+- Integer SUMs MUST be cast: DuckDB ``SUM(int)`` yields HUGEINT, which
+  surfaces through Arrow as decimal128(38,0) while Spark emits int64 — the
+  driver's value hash distinguishes them. Wrap every integer-typed SUM in
+  ``CAST(SUM(…) AS BIGINT)`` on the oracle side (round-1 failures
+  events_hourly_rollup / events_sessionize / chunk_stats were exactly the
+  three oracles with a bare integer SUM).
+- Integer widths must agree too: DuckDB ``row_number()``/``length()``
+  return BIGINT, Spark's return int32 — cast the Spark side to bigint for
+  any such column that reaches the output. DECIMAL outputs must carry the
+  same (precision, scale) on both sides; when the exact value is
+  representable, cast the final expression to DOUBLE on both sides
+  instead. ``tools/check_oracles.py`` enforces all of this via Arrow
+  schema comparison.
 """
 
 from __future__ import annotations

@@ -110,9 +110,10 @@ def chunk_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {CHUNK_CTE}
     SELECT doc_id, COUNT(*) AS n_chunks,
-           SUM(CASE WHEN length(chunk) BETWEEN 40 AND 120
-                     AND trim(chunk) <> '' THEN 1 ELSE 0 END) AS n_valid,
-           SUM(length(chunk)) AS total_chars
+           CAST(SUM(CASE WHEN length(chunk) BETWEEN 40 AND 120
+                     AND trim(chunk) <> '' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_valid,
+           CAST(SUM(length(chunk)) AS BIGINT) AS total_chars
     FROM chunks GROUP BY doc_id
     """,
 )
@@ -186,7 +187,7 @@ def context_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     not pow() (libm parity hazard)."""
     ch = scored_chunks(tbl(spark, sf_dir, "documents"))
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("chunk_idx"))
-    seeds = (ch.withColumn("rn", F.row_number().over(w))
+    seeds = (ch.withColumn("rn", F.row_number().over(w).cast("bigint"))
              .filter(F.col("rn") == 1)
              .select("doc_id", F.col("chunk_idx").alias("seed_idx"), "score"))
     offsets = seeds.select(
@@ -260,7 +261,7 @@ def adaptive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ch.select(
             "doc_id", "chunk_idx", "score",
             F.max("score").over(wp).alias("top_score"),
-            F.row_number().over(wr).alias("rn"),
+            F.row_number().over(wr).cast("bigint").alias("rn"),
         )
         .filter(F.expr("score >= CAST(0.6 AS DOUBLE) * top_score")
                 & (F.col("rn") <= 6))

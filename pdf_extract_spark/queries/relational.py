@@ -163,7 +163,7 @@ def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFram
                                                 F.asc("o_orderkey"))
     return (
         orders.select("o_custkey", "o_orderkey", "o_totalprice",
-                      F.row_number().over(w).alias("rn"))
+                      F.row_number().over(w).cast("bigint").alias("rn"))
         .filter(F.col("rn") <= 3)
     )
 
@@ -214,7 +214,8 @@ def semi_join_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('hour', ts) AS hour, event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k
     FROM events
     GROUP BY date_trunc('hour', ts), event_type
     """,
@@ -253,7 +254,8 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (PARTITION BY user_id ORDER BY ts, event_id)
                   > 1800000 THEN 1 ELSE 0 END AS new_sess
       FROM events)
-    SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+    SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
     FROM g GROUP BY user_id
     """,
 )

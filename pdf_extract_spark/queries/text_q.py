@@ -27,7 +27,7 @@ from . import register, tbl
     SELECT doc_id,
            trim(regexp_replace(substr(text, 1, 500), '\s+', ' ', 'g')) AS q_norm,
            length(trim(regexp_replace(substr(text, 1, 500), '\s+', ' ', 'g')))
-             AS q_len
+             AS q_len  -- DuckDB length() is already BIGINT; Spark side casts
     FROM documents
     """,
 )
@@ -37,7 +37,7 @@ def query_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents")
     q_norm = F.trim(F.regexp_replace(F.substring("text", 1, 500), r"\s+", " "))
     return docs.select("doc_id", q_norm.alias("q_norm"),
-                       F.length(q_norm).alias("q_len"))
+                       F.length(q_norm).cast("bigint").alias("q_len"))
 
 
 @register(
@@ -86,11 +86,11 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                'for','is','it','that','was'))) AS BIGINT) AS n_stop
       FROM base)
     SELECT doc_id, n_words, sum_wlen, n_stop,
-           (CASE WHEN n BETWEEN 200 AND 100000 THEN 0.4 ELSE 0.2 END
+           CAST(CASE WHEN n BETWEEN 200 AND 100000 THEN 0.4 ELSE 0.2 END
             + CASE WHEN CAST(sum_wlen AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0
                    THEN 0.3 ELSE 0.1 END
             + CASE WHEN CAST(n_stop AS DOUBLE) / n_words >= 0.05
-                   THEN 0.3 ELSE 0.1 END) AS quality
+                   THEN 0.3 ELSE 0.1 END AS DOUBLE) AS quality
     FROM feat
     """,
 )
@@ -111,12 +111,15 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(size(filter(w, x -> x IN {stop})) AS BIGINT)")
         .alias("n_stop"),
     )
+    # The banded sum is computed in DECIMAL on both engines (exact) and cast
+    # to DOUBLE once at the end — Spark's decimal(1,1) literals vs DuckDB's
+    # decimal promote to different precisions, which driver hashes can see.
     quality = F.expr(
-        "CASE WHEN n BETWEEN 200 AND 100000 THEN 0.4 ELSE 0.2 END"
+        "CAST(CASE WHEN n BETWEEN 200 AND 100000 THEN 0.4 ELSE 0.2 END"
         " + CASE WHEN CAST(sum_wlen AS DOUBLE) / n_words BETWEEN 3.0 AND 10.0"
         "        THEN 0.3 ELSE 0.1 END"
         " + CASE WHEN CAST(n_stop AS DOUBLE) / n_words >= 0.05"
-        "        THEN 0.3 ELSE 0.1 END")
+        "        THEN 0.3 ELSE 0.1 END AS DOUBLE)")
     return feat.select("doc_id", "n_words", "sum_wlen", "n_stop",
                        quality.alias("quality"))
 

@@ -99,7 +99,7 @@ def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("score"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
-    return (scored.withColumn("rn", F.row_number().over(w))
+    return (scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
             .filter(F.col("rn") <= K))
 
 
@@ -148,7 +148,7 @@ def _variant_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid", "variant").orderBy(F.desc("score"),
                                                      F.asc("vec_id"))
     return (v1.unionByName(v2)
-            .withColumn("rn", F.row_number().over(w))
+            .withColumn("rn", F.row_number().over(w).cast("bigint"))
             .filter(F.col("rn") <= 20))
 
 
@@ -208,7 +208,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("score"))
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("qid"))
-    return (scored.withColumn("rn", F.row_number().over(w))
+    return (scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
             .filter(F.col("rn") == 1)
             .select("vec_id", F.col("qid").alias("best_qid"),
                     F.col("score").alias("best_score")))
@@ -281,7 +281,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                f" / ({_spark_norm('qv')} * {_spark_norm('embedding')})")
         .alias("cos_sim"))
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (scored.withColumn("rn", F.row_number().over(w))
+    return (scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
             .filter(F.col("rn") <= K))
 
 
@@ -355,5 +355,5 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("score"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
-    return (fine.withColumn("rn", F.row_number().over(w))
+    return (fine.withColumn("rn", F.row_number().over(w).cast("bigint"))
             .filter(F.col("rn") <= K))

@@ -1,7 +1,10 @@
 """Local replica of the driver's correctness gate: run every queries()
 entry on Spark and its oracle_sql() on DuckDB at sf0.01, compare row count,
-column names, and order-insensitive values (exact string compare after
-canonical float repr). Usage:
+column names, order-insensitive values (exact string compare after
+canonical float repr) AND Arrow value types. The Arrow-type check is what
+the round-1 version lacked: the driver hashes through Arrow, where a DuckDB
+``SUM(int)`` surfaces as decimal128(38,0) while Spark emits int64 — string
+compare alone calls that a match, the driver does not. Usage:
 
     python tools/check_oracles.py [sf_dir] [name ...]
 """
@@ -12,6 +15,26 @@ import math
 import sys
 
 import duckdb
+
+
+def arrow_type_canon(t) -> str:
+    """Canonical Arrow type name, normalizing representation-only variants
+    (large_string vs string, large_list vs list) that hash identically."""
+    import pyarrow as pa
+
+    if t in (pa.large_string(), pa.string()):
+        return "string"
+    if t in (pa.large_binary(), pa.binary()):
+        return "binary"
+    if isinstance(t, (pa.LargeListType, pa.ListType)):
+        return f"list<{arrow_type_canon(t.value_type)}>"
+    if isinstance(t, pa.TimestampType):
+        return f"timestamp[tz={t.tz}]"
+    return str(t)
+
+
+def arrow_schema_by_name(tab) -> dict[str, str]:
+    return {f.name: arrow_type_canon(f.type) for f in tab.schema}
 
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
@@ -66,7 +89,8 @@ def main() -> int:
         try:
             df = fn(spark, sf_dir)
             sp_cols = df.columns
-            sp_rows = [tuple(r) for r in df.collect()]
+            sp_tab = df.toArrow()
+            sp_rows = [tuple(r.values()) for r in sp_tab.to_pylist()]
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
@@ -76,8 +100,9 @@ def main() -> int:
             continue
         try:
             res = con.execute(oracles[name])
-            du_cols = [d[0] for d in res.description]
-            du_rows = res.fetchall()
+            du_tab = res.fetch_arrow_table()
+            du_cols = du_tab.column_names
+            du_rows = [tuple(r.values()) for r in du_tab.to_pylist()]
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
@@ -85,6 +110,13 @@ def main() -> int:
         problems = []
         if sorted(sp_cols) != sorted(du_cols):
             problems.append(f"cols spark={sorted(sp_cols)} duck={sorted(du_cols)}")
+        else:
+            sp_types = arrow_schema_by_name(sp_tab)
+            du_types = arrow_schema_by_name(du_tab)
+            tdiff = {c: (sp_types[c], du_types[c]) for c in sp_types
+                     if sp_types[c] != du_types[c]}
+            if tdiff:
+                problems.append(f"arrow types differ: {tdiff}")
         if len(sp_rows) != len(du_rows):
             problems.append(f"rowcount spark={len(sp_rows)} duck={len(du_rows)}")
         if not problems:
