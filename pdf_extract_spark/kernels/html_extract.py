@@ -144,6 +144,10 @@ def _is_selfclose(attrs: str) -> bool:
         return False
     return len(t) == 1 or t[-2] in " \t\n\r\"'"
 _RAWTEXT = frozenset({"script", "style"})
+# Exact CDATA-exit pattern html.parser uses (set_cdata_mode): the close
+# tag may carry whitespace but nothing else, and name match is exact.
+_RAWTEXT_END = {t: re.compile(r"</\s*%s\s*>" % t, re.IGNORECASE)
+                for t in _RAWTEXT}
 _WS_ONLY = re.compile(r"\s+")
 
 
@@ -167,7 +171,6 @@ def _collect_blocks(html: str) -> list[tuple[str, int, int, str]]:
 
     pos = 0
     n = len(html)
-    lower = None  # lazily lowered copy for rawtext close search
     while pos < n:
         m = _TOKEN_RE.search(html, pos)
         if m is None:
@@ -219,14 +222,15 @@ def _collect_blocks(html: str) -> list[tuple[str, int, int, str]]:
                 parts.append(" ")
             continue
         if not closing and tag in _RAWTEXT and not selfclose:
-            # skip raw content up to the matching close tag
-            if lower is None:
-                lower = html.lower()
-            end = lower.find("</" + tag, pos)
-            if end == -1:
+            # Skip raw content up to the matching close tag. html.parser's
+            # CDATA mode only exits at r'</\s*<tag>\s*>' (set_cdata_mode):
+            # a longer tag name sharing the prefix (</scripty>) is DATA and
+            # must NOT end the block — a plain substring find would. At EOF
+            # with no close tag the rest of the doc is CDATA (dropped).
+            m2 = _RAWTEXT_END[tag].search(html, pos)
+            if m2 is None:
                 break
-            gt = html.find(">", end)
-            pos = (gt + 1) if gt != -1 else n
+            pos = m2.end()
             if tag in _DROP_SUBTREE:
                 flush()
             continue

@@ -69,7 +69,7 @@ def search_index(spark: SparkSession, index_path: str, query_text: str,
     qv = [float(x) for x in embed_text(query_text)]
     idx = spark.read.parquet(index_path)
     qdf = spark.createDataFrame([(qv,)], "qv array<float>")
-    l2 = ("sqrt(aggregate(zip_with(qv, embedding, (x, y) -> "
+    l2 = ("(aggregate(zip_with(qv, embedding, (x, y) -> "
           "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
           "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
           "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))")

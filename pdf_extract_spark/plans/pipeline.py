@@ -21,13 +21,17 @@ just written (3 thin columns), and run counters come from the lineage
 table itself — the full extracted text is scanned exactly once and
 written exactly once.
 
-Crash safety (run-level commit protocol): lineage is written LAST, so its
-presence is the commit marker for a run. At resume, run_id= directories
-with no lineage (crashed mid-write — committer v2 exposes task files as
-tasks finish, possibly torn) are deleted wholesale and their input
-reprocessed; committed runs are never touched. Iceberg would make
-data+lineage one transaction; this protocol is the parquet equivalent at
-run granularity, tested including a torn-parquet-file crash.
+Crash safety (run-level commit protocol): lineage is written LAST and
+published as ONE atomically-renamed parquet file per run, so its presence
+is the commit marker for a run and can never be half-visible. At resume,
+run_id= directories with no lineage (crashed mid-write — committer v2
+exposes task files as tasks finish, possibly torn) are deleted wholesale
+and their input reprocessed; committed runs are never touched, and a
+lineage file that is unreadable without being provably torn (parquet
+footer magic intact) ABORTS the resume rather than risking deletion of
+committed data. Iceberg would make data+lineage one transaction; this
+protocol is the parquet equivalent at run granularity, tested including a
+torn-parquet-file crash.
 """
 
 from __future__ import annotations
@@ -43,6 +47,22 @@ LINEAGE_SCHEMA = ("run_id string, partition_id int, n_in long, n_out long, "
                   "n_err long, digest string")
 
 
+def _is_torn_parquet(path: str) -> bool:
+    """True iff the file is provably NOT a complete parquet file (missing
+    the trailing PAR1 magic) — the signature of a write that crashed
+    mid-flight. Returns False when the file cannot even be read: transient
+    I/O errors must not be mistaken for corruption."""
+    try:
+        with open(path, "rb") as f:
+            size = os.fstat(f.fileno()).st_size
+            if size < 12:  # magic + footer-len + magic is the minimum
+                return True
+            f.seek(-4, os.SEEK_END)
+            return f.read(4) != b"PAR1"
+    except OSError:
+        return False
+
+
 def _committed_run_ids(spark: SparkSession, lineage_dir: str) -> set[str]:
     """Runs whose lineage exists are committed: lineage is the LAST write
     of a run, so its presence proves the data write completed.
@@ -50,21 +70,31 @@ def _committed_run_ids(spark: SparkSession, lineage_dir: str) -> set[str]:
     Read file-by-file: a torn lineage file belongs to a run that crashed
     DURING its lineage write (still uncommitted) — it must not poison the
     whole-directory read, or every committed run would look uncommitted
-    and be wrongly deleted. Torn files are removed (their run's data is
-    cleaned up too) so later whole-directory reads stay healthy."""
+    and be wrongly deleted. Only files that provably lack the parquet
+    footer magic are treated as torn and removed; any other read failure
+    (transient I/O, environment) aborts the resume instead — wrongly
+    deleting a committed run's lineage would cascade into
+    _cleanup_uncommitted rmtree-ing its DATA."""
     if not os.path.isdir(lineage_dir):
         return set()
+    import pyarrow.parquet as pq
+
     committed: set[str] = set()
     for name in sorted(os.listdir(lineage_dir)):
         if not name.endswith(".parquet"):
             continue
         path = os.path.join(lineage_dir, name)
         try:
-            import pyarrow.parquet as pq
             col = pq.read_table(path, columns=["run_id"]).column("run_id")
             committed.update(col.to_pylist())
-        except Exception:
-            os.remove(path)  # torn file from a crashed lineage write
+        except Exception as e:
+            if _is_torn_parquet(path):
+                os.remove(path)  # torn file from a crashed lineage write
+                continue
+            raise RuntimeError(
+                f"lineage file {path} is unreadable but not provably torn "
+                f"({e!r}); refusing to resume — a wrong 'uncommitted' "
+                "verdict here would delete committed data") from e
     return committed
 
 
@@ -122,6 +152,31 @@ def lineage_rows(extracted: DataFrame, run_id: str) -> DataFrame:
     )
 
 
+def _publish_lineage(lineage: DataFrame, out_dir: str, lineage_dir: str,
+                     run_id: str) -> None:
+    """Atomically publish a run's lineage as ONE parquet file.
+
+    Lineage presence is the run's commit marker, so the marker itself must
+    appear atomically: a multi-file Spark append under committer v2 can
+    crash having committed a subset of part files, making the run look
+    committed while its audit counters are permanently under-reported.
+    Lineage is tiny (one row per task partition), so it is collected to the
+    driver as Arrow, written to a temp file on the same filesystem, and
+    os.replace'd into place — the POSIX-atomic rename; on S3/HDFS the same
+    role is played by an atomic PUT / create-then-rename, and an Iceberg
+    writer would fold this into the table transaction."""
+    from urllib.parse import quote
+
+    import pyarrow.parquet as pq
+
+    tab = lineage.toArrow()
+    os.makedirs(lineage_dir, exist_ok=True)
+    safe = quote(run_id, safe="")
+    tmp = os.path.join(out_dir, f"_lineage_tmp_{safe}.parquet")
+    pq.write_table(tab, tmp)
+    os.replace(tmp, os.path.join(lineage_dir, f"run-{safe}.parquet"))
+
+
 def run_extraction(
     spark: SparkSession,
     pages: DataFrame,
@@ -174,7 +229,7 @@ def run_extraction(
     staged = (spark.read.parquet(extracted_dir)
               .filter(F.col("run_id") == run_id)
               .select("partition_id", "text_sha256", "error"))
-    lineage_rows(staged, run_id).write.mode("append").parquet(lineage_dir)
+    _publish_lineage(lineage_rows(staged, run_id), out_dir, lineage_dir, run_id)
 
     row = (spark.read.parquet(lineage_dir)
            .filter(F.col("run_id") == run_id)

@@ -29,9 +29,13 @@ K = 10
 # --- shared expression snippets (Spark SQL and DuckDB dialects) -----------
 
 def _spark_l2(a: str, b: str) -> str:
+    """SQUARED L2, matching FAISS IndexFlatL2.search, whose returned
+    'distances' are squared — so the reference's score = 1/(1+distance)
+    (tools.py:198) is 1/(1+d²) and its 0.3/0.6 gates fire at the same
+    effective distances here (ADVICE r1: no sqrt)."""
     sq = (f"zip_with({a}, {b}, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
           f" * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)))")
-    return f"sqrt(aggregate({sq}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    return f"aggregate({sq}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
 
 
 def _spark_dot(a: str, b: str) -> str:
@@ -40,10 +44,11 @@ def _spark_dot(a: str, b: str) -> str:
 
 
 def _duck_l2(a: str, b: str) -> str:
+    """Squared-L2 oracle twin of _spark_l2 (same FAISS semantics)."""
     term = (f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
             f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))")
-    return (f"sqrt(list_sum(list_transform(range(1, len({b}) + 1),"
-            f" i -> {term})))")
+    return (f"list_sum(list_transform(range(1, len({b}) + 1),"
+            f" i -> {term}))")
 
 
 def _duck_dot(a: str, b: str) -> str:

@@ -190,3 +190,65 @@ def test_crash_mid_write_torn_file(spark, tmp_path_factory):
     assert ok.count() + quarantine(spark, base).count() == 130
     assert final_digest(spark, base) != d1  # grew by the new rows
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_torn_lineage_removed_but_unreadable_aborts(spark, tmp_path_factory):
+    """A lineage file without the parquet footer magic is a crashed lineage
+    write → removed, run reprocessed. A lineage file that fails to read
+    while LOOKING complete (footer intact) must ABORT the resume: deleting
+    it would cascade into deleting the committed run's data."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = str(tmp_path_factory.mktemp("tornlin"))
+    df = spark.createDataFrame(pages.make_rows(60), schema=pages.PAGES_SCHEMA)
+    run_extraction(spark, df, base, run_id="r1", num_partitions=2)
+    d1 = final_digest(spark, base)
+
+    # torn lineage (crashed during its own write): footer magic missing
+    lin = f"{base}/lineage"
+    good = next(n for n in _os.listdir(lin) if n.endswith(".parquet"))
+    with open(f"{lin}/{good}", "rb") as f:
+        head = f.read()[:50]
+    with open(f"{lin}/run-crashed.parquet", "wb") as f:
+        f.write(head)
+    stats = run_extraction(spark, df, base, run_id="r2", num_partitions=2)
+    assert stats["n_in"] == 0  # r1 stayed committed; torn marker ignored
+    assert not _os.path.exists(f"{lin}/run-crashed.parquet")
+    assert final_digest(spark, base) == d1
+
+    # complete-looking but unreadable (wrong schema would read fine, so use
+    # a valid-footer file whose body is garbage): bytes end in PAR1 yet
+    # pyarrow cannot parse the footer length/metadata
+    bad = head + b"\x00" * 20 + b"PAR1"
+    with open(f"{lin}/run-odd.parquet", "wb") as f:
+        f.write(bad)
+    with pytest.raises(RuntimeError, match="refusing to resume"):
+        run_extraction(spark, df, base, run_id="r3", num_partitions=2)
+    _os.remove(f"{lin}/run-odd.parquet")
+    # data untouched by the aborted resume
+    assert final_digest(spark, base) == d1
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_lineage_marker_is_single_atomic_file(spark, tmp_path_factory):
+    """The commit marker is ONE file per run (atomic rename), so a run can
+    never be half-committed with under-reported audit counters."""
+    import os as _os
+
+    base = str(tmp_path_factory.mktemp("atomiclin"))
+    df = spark.createDataFrame(pages.make_rows(90), schema=pages.PAGES_SCHEMA)
+    run_extraction(spark, df, base, run_id="a b/1", num_partitions=3)
+    files = [n for n in _os.listdir(f"{base}/lineage") if n.endswith(".parquet")]
+    assert len(files) == 1
+    # all partitions' audit rows live in that one file
+    import pyarrow.parquet as pq
+    tab = pq.read_table(f"{base}/lineage/{files[0]}")
+    assert tab.num_rows == 3
+    assert set(tab.column("run_id").to_pylist()) == {"a b/1"}
+    assert sum(tab.column("n_in").to_pylist()) == 90
+    # no temp droppings left behind
+    assert not [n for n in _os.listdir(base) if n.startswith("_lineage_tmp")]
+    shutil.rmtree(base, ignore_errors=True)

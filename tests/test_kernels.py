@@ -352,3 +352,31 @@ def test_second_review_regressions():
                 out |= 1 << b
         return out
     assert simhash64(t) == ref(t)
+
+
+def test_rawtext_close_tag_boundary_matches_reference():
+    """ADVICE r1: '</scripty>' shares the prefix of '</script' but must NOT
+    end a <script> CDATA block — html.parser only exits CDATA at
+    r'</\\s*script\\s*>'. Also: whitespace-padded close tags DO end it, and
+    an unterminated rawtext block swallows the rest of the document."""
+    from pdf_extract_spark.kernels.html_extract import (
+        _collect_blocks,
+        _collect_blocks_reference,
+    )
+
+    cases = [
+        # longer-name prefix: </scripty> is still CDATA, real close follows
+        ("<p>first real paragraph with words</p><script>x = 1; "
+         "</scripty> y = 2;</script><p>second real paragraph here</p>"),
+        # whitespace inside the close tag is allowed by html.parser
+        ("<p>alpha beta gamma delta epsilon</p><script>code()"
+         "</ script ><p>zeta eta theta iota kappa</p>"),
+        # style variant of the same prefix hazard
+        ("<p>one two three four five six</p><style>.a{}</styled>.b{}"
+         "</style><p>seven eight nine ten eleven</p>"),
+        # unterminated script: remainder of the document is CDATA
+        ("<p>kept paragraph with enough words</p><script>open("
+         "<p>never seen paragraph content</p>"),
+    ]
+    for html in cases:
+        assert _collect_blocks(html) == _collect_blocks_reference(html), html
