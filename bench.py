@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_lsh",
+    "dedup_embedding_cosine",
     "dedup_simhash",
     "asof_join_events",
     "events_grouping_sets",

@@ -279,6 +279,9 @@ _DUCK_COS = (
 )
 
 
+MAX_BRUTE_N = 65_536  # broadcast build-side cap (~32 MB at 64-dim float64)
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -293,14 +296,60 @@ _DUCK_COS = (
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup, brute-force baseline: all-pairs cosine ≥
-    0.99 over the (augmented) embedding table. The O(n²) pair join is the
-    correctness baseline only — at corpus scale candidates come from the
-    IVF/LSH bucketing of ann_ivf_topk (join within bucket, not all-pairs)."""
+    """Embedding-cosine near-dup, brute-force baseline (bounded).
+
+    Shape: the normalized embedding matrix is collected and broadcast —
+    exactly a BroadcastHashJoin's build side, hard-capped at MAX_BRUTE_N
+    rows — and each partition scans it with one vectorized numpy matmul
+    (Arrow batches, no per-row Python) to emit candidate pairs at the
+    threshold minus a float slack. The exact Catalyst fold then recomputes
+    cosine bit-identically to the DuckDB oracle on just those pairs, so
+    results carry NO numpy summation-order noise. Beyond the cap this
+    raises: at corpus scale the LSH bucketing (dedup_embedding_lsh) is the
+    candidate generator, with this same exact-verify tail."""
     emb = tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     aug = emb.unionByName(
         emb.filter(F.col("vec_id") % 20 == 0)
         .select((F.col("vec_id") + 100_000).alias("vec_id"), "embedding"))
+
+    import numpy as np
+
+    build = aug.collect()  # guarded build side, like a broadcast join
+    if len(build) > MAX_BRUTE_N:
+        raise ValueError(
+            f"dedup_embedding_cosine is the brute-force baseline, capped at "
+            f"{MAX_BRUTE_N} vectors (got {len(build)}); use "
+            "dedup_embedding_lsh for corpus-scale near-dup")
+    ids = np.array([r["vec_id"] for r in build], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in build], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = np.nan  # zero vectors never match (nan compares False)
+    matn = mat / norms[:, None]
+    bc = spark.sparkContext.broadcast((ids, matn))
+
+    def gen(batches):
+        import pandas as pd
+
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf["embedding"]])
+            an = np.linalg.norm(a, axis=1)
+            an[an == 0.0] = np.nan
+            sims = (a / an[:, None]) @ b_mat.T
+            # slack 1e-9 >> float64 matmul error (~1e-14); the exact
+            # Catalyst fold below applies the true 0.99 cut
+            ai, bi = np.nonzero(sims >= 0.99 - 1e-9)
+            keep = a_ids[ai] < b_ids[bi]
+            if not keep.any():
+                continue
+            yield pd.DataFrame({"a_id": a_ids[ai[keep]],
+                                "b_id": b_ids[bi[keep]]})
+
+    cand = aug.mapInPandas(gen, "a_id long, b_id long")
     a = aug.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("va"))
     b = aug.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb"))
     dot = ("aggregate(zip_with(va, vb, (x, y) -> CAST(x AS DOUBLE) *"
@@ -310,7 +359,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = ("sqrt(aggregate(zip_with(vb, vb, (x, y) -> CAST(x AS DOUBLE) *"
           " CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))")
     return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
+        cand.join(a, "a_id").join(b, "b_id")
         .select("a_id", "b_id",
                 F.expr(f"{dot} / ({na} * {nb})").alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.99)

@@ -341,33 +341,42 @@ def _simhash_schema_rows(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 @register("dedup_simhash", oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit simhash kernel → 4×16-bit bands → banded
-    equi-join candidates (Hamming ≤ 3 pairs must share ≥1 band) — the
-    standard Manku/Jain/Sarma web-dedup shape; no cross join."""
+    candidates (Hamming ≤ 3 pairs must share ≥1 band) — the standard
+    Manku/Jain/Sarma web-dedup shape; no cross join.
+
+    Candidate generation is a bucket groupBy + in-array pair expansion,
+    NOT a band self-join: one shuffle on the band key, and buckets larger
+    than MAX_BUCKET are dropped BEFORE the O(bucket²) expansion — a
+    boilerplate-heavy web corpus makes one hot 16-bit band bucket
+    quadratic otherwise (same discipline as dedup_minhash_lsh)."""
+    from .dedup_q import MAX_BUCKET
+
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
-    # persist: the band table feeds both sides of the candidate self-join —
-    # without it the simhash kernel would run once per subtree (the same
-    # materialization rule dedup_q applies to its signature tables); band
-    # rows come from ONE posexplode, not four unioned projections.
     sig = docs.mapInPandas(
         _simhash_schema_rows,
         schema=("doc_id long, simhash string, band0 long, band1 long, "
                 "band2 long, band3 long"),
-    ).persist()
+    )
     bands = sig.select(
         "doc_id", "simhash",
         F.posexplode(F.array("band0", "band1", "band2", "band3"))
         .alias("b", "band_key"))
-    x, y = bands.alias("x"), bands.alias("y")
-    return (
-        x.join(y, (F.col("x.b") == F.col("y.b"))
-               & (F.col("x.band_key") == F.col("y.band_key"))
-               & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .select(F.col("x.doc_id").alias("a_id"),
-                F.col("y.doc_id").alias("b_id"),
-                F.col("x.simhash").alias("a_sim"),
-                F.col("y.simhash").alias("b_sim"))
-        .distinct()
+    # ids sorts by doc_id (unique), so i<j expansion ⇒ a_id < b_id
+    buckets = (
+        bands.groupBy("b", "band_key")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash")))
+             .alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= MAX_BUCKET))
     )
+    pair_expr = (
+        "flatten(transform(sequence(1, size(ids) - 1), i -> "
+        "transform(slice(ids, i + 1, size(ids) - i), "
+        "y -> struct(element_at(ids, i).doc_id AS a_id, y.doc_id AS b_id, "
+        "element_at(ids, i).simhash AS a_sim, y.simhash AS b_sim))))"
+    )
+    return (buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+            .select("p.a_id", "p.b_id", "p.a_sim", "p.b_sim")
+            .distinct())
 
 
 @register(

@@ -121,3 +121,35 @@ def test_whole_stage_codegen_covers_relational_ops(spark):
     # whole-stage-codegen'd operators carry the "*(n)" stage marker; both
     # the partial and final hash aggregates must be inside codegen stages
     assert "*(1) HashAggregate" in plan and "*(2) HashAggregate" in plan
+
+
+def test_simhash_hot_bucket_cap_binds(spark, tmp_path_factory):
+    """A boilerplate-heavy corpus puts >MAX_BUCKET docs in one 16-bit band
+    bucket; the cap must drop that bucket BEFORE the O(bucket²) pair
+    expansion while still finding small planted near-dup clusters."""
+    import os
+
+    from pdf_extract_spark.queries.dedup_q import MAX_BUCKET
+    from pdf_extract_spark.queries.text_q import dedup_simhash
+
+    d = str(tmp_path_factory.mktemp("simhash_hot"))
+    boiler = "all rights reserved terms of service privacy policy " * 8
+    rows = [(i, boiler, "en", "s", len(boiler))
+            for i in range(MAX_BUCKET + 6)]  # identical ⇒ one hot bucket/band
+    planted = "a genuinely unique planted near duplicate sentence " * 6
+    rows += [(1000, planted, "en", "s", len(planted)),
+             (1001, planted, "en", "s", len(planted))]
+    for i in range(2000, 2020):  # background: unique texts
+        t = f"background document number {i} with its own words {i * 7} " * 5
+        rows.append((i, t, "en", "s", len(t)))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    pairs = dedup_simhash(spark, d).collect()
+    ids = {(r["a_id"], r["b_id"]) for r in pairs}
+    assert (1000, 1001) in ids  # small cluster survives
+    boiler_ids = set(range(MAX_BUCKET + 6))
+    assert not any(a in boiler_ids or b in boiler_ids for a, b in ids), (
+        "hot boilerplate bucket must be dropped by the cap")
