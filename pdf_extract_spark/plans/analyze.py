@@ -40,14 +40,15 @@ def report_json_expr():
     return F.to_json(F.struct(
         "url", "summary",
         F.struct("names", "dates", "locations", "numbers").alias("entities"),
-        F.struct("confidence", "verified").alias("verified_data"),
+        F.struct("confidence", "verified", "summary_only_mode")
+        .alias("verified_data"),
     ))
 
 REPORT_SCHEMA = (
     "url string, lang string, summary string, "
     "names array<string>, dates array<string>, locations array<string>, "
     "numbers array<string>, n_entities int, n_chunks int, "
-    "confidence double, verified boolean"
+    "confidence double, verified boolean, summary_only_mode boolean"
 )
 
 ROLLUP_SCHEMA = ("source string, n_docs long, combined_summary string, "
@@ -69,13 +70,20 @@ def _analyze_one(text: str) -> dict:
     in_summary = {e for v in summary_ents.values() for e in v}
     overlap = full & in_summary
     confidence = (len(overlap) / len(full)) if full else 0.0
+    # Summary-only degraded mode (states.py:35, agents.py:588-593): entity
+    # extraction yielded nothing but a summary exists -> continue with the
+    # lowered 0.2 acceptance threshold instead of erroring (agents.py:853).
+    n_entities = entity_count(ents)
+    summary_only = n_entities == 0 and bool(summary)
+    min_score = 0.2 if summary_only else 0.3
     return {
         "summary": summary,
         "entities": ents,
-        "n_entities": entity_count(ents),
+        "n_entities": n_entities,
         "n_chunks": len(chunks),
         "confidence": confidence,
-        "verified": confidence >= 0.3,  # agents.py:853-864 threshold
+        "verified": confidence >= min_score,
+        "summary_only_mode": summary_only,
     }
 
 
@@ -83,7 +91,8 @@ def _analyze_batches(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in pdfs:
         rows = {k: [] for k in ("url", "lang", "summary", "names", "dates",
                                 "locations", "numbers", "n_entities",
-                                "n_chunks", "confidence", "verified")}
+                                "n_chunks", "confidence", "verified",
+                                "summary_only_mode")}
         for url, lang, text in zip(pdf["url"], pdf["lang"], pdf["text"]):
             r = _analyze_one(text)
             rows["url"].append(url)
@@ -95,6 +104,7 @@ def _analyze_batches(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             rows["n_chunks"].append(r["n_chunks"])
             rows["confidence"].append(r["confidence"])
             rows["verified"].append(r["verified"])
+            rows["summary_only_mode"].append(r["summary_only_mode"])
         yield pd.DataFrame(rows)
 
 

@@ -71,4 +71,5 @@ def load_all() -> dict[str, Query]:
     from . import dedup_q  # noqa: F401
     from . import text_q  # noqa: F401
     from . import docpipe_q  # noqa: F401
+    from . import search_q  # noqa: F401
     return REGISTRY

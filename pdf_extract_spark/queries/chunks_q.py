@@ -244,16 +244,27 @@ def composite_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, chunk_idx, score,
              MAX(score) OVER (PARTITION BY doc_id) AS top_score,
              ROW_NUMBER() OVER (PARTITION BY doc_id
-                                ORDER BY score DESC, chunk_idx) AS rn
-      FROM scored)
+                                ORDER BY score DESC, chunk_idx) AS rn,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n
+      FROM scored),
+    sized AS (
+      SELECT *,
+             SUM(CASE WHEN score >= CAST(0.6 AS DOUBLE) * top_score
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id) AS nq
+      FROM with_top)
     SELECT doc_id, chunk_idx, score, rn
-    FROM with_top
-    WHERE score >= CAST(0.6 AS DOUBLE) * top_score AND rn <= 6
+    FROM sized
+    WHERE rn <= CASE WHEN nq < 2 THEN least(3, n)
+                     WHEN nq > 6 THEN 6 ELSE nq END
     """,
 )
 def adaptive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W2 adaptive top-k (reference tools.py:369-391): keep results within
-    60% of the per-group top score, capped at 2k (k=3)."""
+    """W2 adaptive top-k, full clamp (reference tools.py:369-391): count
+    the results within 60% of the per-group top score, then slice the
+    ranking to that count clamped to [max(k//2,2), 2k] with k=3 — fewer
+    than min_results quality rows falls back to min(k, n) (the floor the
+    round-1 version lacked), more than 2k caps at 2k."""
     ch = scored_chunks(tbl(spark, sf_dir, "documents"))
     wp = Window.partitionBy("doc_id")
     wr = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("chunk_idx"))
@@ -262,8 +273,12 @@ def adaptive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "chunk_idx", "score",
             F.max("score").over(wp).alias("top_score"),
             F.row_number().over(wr).cast("bigint").alias("rn"),
+            F.count("*").over(wp).alias("n"),
         )
-        .filter(F.expr("score >= CAST(0.6 AS DOUBLE) * top_score")
-                & (F.col("rn") <= 6))
+        .withColumn("nq", F.expr(
+            "SUM(CASE WHEN score >= CAST(0.6 AS DOUBLE) * top_score"
+            " THEN 1 ELSE 0 END)").over(wp))
+        .filter(F.expr("rn <= CASE WHEN nq < 2 THEN least(3, n)"
+                       " WHEN nq > 6 THEN 6 ELSE nq END"))
         .select("doc_id", "chunk_idx", "score", "rn")
     )

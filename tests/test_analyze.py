@@ -67,7 +67,24 @@ def test_report_json_schema(spark, docs_sdf):
         assert set(doc) == {"url", "summary", "entities", "verified_data"}
         assert set(doc["entities"]) == {"names", "dates", "locations",
                                         "numbers"}
-        assert set(doc["verified_data"]) == {"confidence", "verified"}
+        assert set(doc["verified_data"]) == {"confidence", "verified",
+                                            "summary_only_mode"}
+
+
+def test_summary_only_mode_flag(spark, docs_sdf):
+    """Docs with a summary but zero extractable entities run in degraded
+    summary-only mode (reference states.py:35, agents.py:588-593,853): the
+    flag is set, the acceptance threshold drops to 0.2, and the doc still
+    reaches the report instead of erroring."""
+    rows = {r["url"]: r for r in analyze_extracted(docs_sdf).collect()}
+    assert rows["u1"]["summary_only_mode"] is False  # entities found
+    assert rows["u2"]["summary_only_mode"] is True   # summary, no entities
+    assert rows["u3"]["summary_only_mode"] is True
+    assert rows["u4"]["summary_only_mode"] is False  # no summary: hard path
+    # golden twin agrees
+    for url, _, _, text in DOCS:
+        assert rows[url]["summary_only_mode"] == \
+            _analyze_one(text)["summary_only_mode"], url
 
 
 def test_rollup_partition_invariance(spark, docs_sdf):

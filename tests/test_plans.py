@@ -153,3 +153,31 @@ def test_simhash_hot_bucket_cap_binds(spark, tmp_path_factory):
     boiler_ids = set(range(MAX_BUCKET + 6))
     assert not any(a in boiler_ids or b in boiler_ids for a, b in ids), (
         "hot boilerplate bucket must be dropped by the cap")
+
+
+def test_adaptive_topk_floor_binds(spark, tmp_path_factory):
+    """Reference _adaptive_k_selection floor (tools.py:383-391): when fewer
+    than max(k//2,2)=2 chunks meet the 60%-of-top cutoff, the slice falls
+    back to min(k, n) rows — the below-cutoff runner-up is still emitted."""
+    import os
+
+    from pdf_extract_spark.queries.chunks_q import adaptive_topk
+
+    d = str(tmp_path_factory.mktemp("adk"))
+    # 110 chars -> chunk0 = 110 chars (score .833), chunk1 = 30 chars
+    # (score .417 < 0.6*.833): nq=1 < 2 -> final_k = min(3, 2) = 2
+    rows = [(1, "a" * 110, "en", "s", 110),
+            # control: 3 chunks all quality -> nq=n=3 rows
+            (2, "b" * 280, "en", "s", 280)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    got = {r["doc_id"]: [] for r in [{"doc_id": 1}, {"doc_id": 2}]}
+    for r in adaptive_topk(spark, d).collect():
+        got[r["doc_id"]].append((r["rn"], round(r["score"], 3)))
+    assert sorted(got[1]) == [(1, 0.833), (2, 0.417)]  # floor emitted rn=2
+    # control: 4 chunks (three 120-char at .714, tail 40-char at .455, all
+    # >= 0.6*top=.429) -> nq=4 in [2,6] -> exactly nq rows
+    assert len(got[2]) == 4
