@@ -93,3 +93,74 @@ def search_index(spark: SparkSession, index_path: str, query_text: str,
             .filter(F.col("rn") <= 2 * k)
             .drop("t"))
     return kept
+
+
+# --- persisted IVF index (S3/S4 as tables; reference tools.py:115-140) ----
+
+def write_ivf_index(emb: DataFrame, out_dir: str) -> str:
+    """Persist the IVF analog of a FAISS IndexIVFFlat as TWO tables:
+
+    - ``ivf_vectors``: the embedding rows partitioned by coarse list id
+      (`label`) — the inverted lists ARE parquet partitions, so probing a
+      list is file-level partition pruning, not a filter over all rows;
+    - ``ivf_centroids``: per-list exact component means (tiny, broadcast
+      at query time).
+
+    Component means use DECIMAL sums (order-insensitive) so the persisted
+    centroids are bit-identical to the DuckDB oracle's."""
+    vec_path = os.path.join(out_dir, "ivf_vectors")
+    cen_path = os.path.join(out_dir, "ivf_centroids")
+    (emb.select("vec_id", "label", "embedding")
+     .write.partitionBy("label").mode("overwrite").parquet(vec_path))
+    comp = (
+        emb.select("label", F.posexplode("embedding").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.expr("CAST(SUM(CAST(x AS DECIMAL(18,12))) AS DOUBLE)"
+                    " / COUNT(*)").alias("c"))
+    )
+    (comp.groupBy("label")
+     .agg(F.expr("transform(array_sort(collect_list(struct(i, c))),"
+                 " s -> s.c)").alias("cv"))
+     .write.mode("overwrite").parquet(cen_path))
+    return out_dir
+
+
+def ivf_probe_labels(spark: SparkSession, index_dir: str, q: DataFrame,
+                     nprobe: int = 2) -> DataFrame:
+    """(qid, label) probe assignments: nearest nprobe centroids per query.
+    Centroid table is tiny → both sides broadcast, no shuffle."""
+    l2 = ("aggregate(zip_with(qv, cv, (x, y) -> (CAST(x AS DOUBLE)"
+          " - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+          " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    centroids = spark.read.parquet(os.path.join(index_dir, "ivf_centroids"))
+    w = Window.partitionBy("qid").orderBy(F.col("cdist").asc(),
+                                          F.col("label").asc())
+    return (F.broadcast(q).crossJoin(F.broadcast(centroids))
+            .select("qid", "label", F.expr(l2).alias("cdist"))
+            .withColumn("pr", F.row_number().over(w))
+            .filter(F.col("pr") <= nprobe)
+            .select("qid", "label"))
+
+
+def ivf_search(spark: SparkSession, index_dir: str, q: DataFrame,
+               k: int = 10, nprobe: int = 2) -> DataFrame:
+    """Two-stage ANN over the PERSISTED index: probe labels, then scan
+    ONLY the probed ivf_vectors partitions (static `label IN (...)`
+    filter from the tiny collected probe set → file-level partition
+    pruning, the FAISS inverted-list read). Fine top-k per qid."""
+    probes = ivf_probe_labels(spark, index_dir, q, nprobe)
+    # probe set is queries × nprobe rows — tiny by construction; collecting
+    # it turns per-list reads into static partition pruning on the scan
+    labels = sorted({r["label"] for r in probes.select("label").collect()})
+    vecs = (spark.read.parquet(os.path.join(index_dir, "ivf_vectors"))
+            .filter(F.col("label").isin(labels)))
+    l2 = ("aggregate(zip_with(qv, embedding, (x, y) -> (CAST(x AS DOUBLE)"
+          " - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+          " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    fine = (F.broadcast(q.join(probes, "qid"))
+            .join(vecs, "label")
+            .select("qid", "vec_id",
+                    F.expr(f"1.0 / (1.0 + {l2})").alias("score")))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (fine.withColumn("rn", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rn") <= k))

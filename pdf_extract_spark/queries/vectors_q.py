@@ -290,6 +290,22 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") <= K))
 
 
+def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir, cached on disk) the persisted IVF index:
+    ivf_vectors partitioned by label + ivf_centroids."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..plans.index import write_ivf_index
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"pdfx_ivf_{tag}")
+    if not os.path.exists(os.path.join(d, "ivf_centroids", "_SUCCESS")):
+        write_ivf_index(tbl(spark, sf_dir, "embeddings"), d)
+    return d
+
+
 @register(
     "ann_ivf_topk",
     oracle=f"""
@@ -323,42 +339,13 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style two-stage ANN (reference tools.py:115-129 builds
-    IndexIVFFlat, nlist=min(100,n), nprobe search): coarse centroids =
-    per-label exact means (DECIMAL component sums), probe the 2 nearest
-    lists, fine L2 top-k inside probed lists only.
+    IndexIVFFlat, nlist=min(100,n), nprobe search) over the PERSISTED
+    index tables (plans/index.write_ivf_index): coarse centroids =
+    per-label exact means read from ivf_centroids, probe the 2 nearest
+    lists, fine L2 top-k reading ONLY the probed label= partitions of
+    ivf_vectors — file-level partition pruning does what FAISS's
+    inverted-list read does (asserted in test_plans)."""
+    from ..plans.index import ivf_search
 
-    Scale shape: centroids are tiny → broadcast; the fine search touches
-    only probed partitions (label = partition key of a bucketed embedding
-    table), i.e. partition pruning does what FAISS's inverted lists do."""
-    emb = tbl(spark, sf_dir, "embeddings")
-    # exact per-component means, element order restored via sorted structs
-    comp = (
-        emb.select("label",
-                   F.posexplode("embedding").alias("i", "x"))
-        .groupBy("label", "i")
-        .agg(F.expr("CAST(SUM(CAST(x AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*)")
-             .alias("c"))
-    )
-    centroids = comp.groupBy("label").agg(
-        F.expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)")
-        .alias("cv"))
-    q = _queries_df(spark, sf_dir)
-    wpr = Window.partitionBy("qid").orderBy(F.col("cdist").asc(),
-                                            F.col("label").asc())
-    probes = (
-        F.broadcast(q).crossJoin(F.broadcast(centroids))
-        .select("qid", "label", F.expr(_spark_l2("qv", "cv")).alias("cdist"))
-        .withColumn("pr", F.row_number().over(wpr))
-        .filter(F.col("pr") <= 2)
-        .select("qid", "label")
-    )
-    fine = (
-        F.broadcast(q.join(probes, "qid"))
-        .join(emb.select("vec_id", "label", "embedding"), "label")
-        .select("qid", "vec_id",
-                F.expr(f"1.0 / (1.0 + {_spark_l2('qv', 'embedding')})")
-                .alias("score"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
-    return (fine.withColumn("rn", F.row_number().over(w).cast("bigint"))
-            .filter(F.col("rn") <= K))
+    d = _ivf_index_dir(spark, sf_dir)
+    return ivf_search(spark, d, _queries_df(spark, sf_dir), k=K, nprobe=2)

@@ -1,22 +1,32 @@
-"""Custom stateful streaming operator: cross-batch exact deduplication via
-``applyInPandasWithState`` (build brief §streaming: custom stateful
-operators).
+"""Cross-batch streaming URL deduplication with BOUNDED state — the
+streaming twin of dedup_q.dedup_exact for a re-crawling ingest stream.
 
-A training-data ingest stream re-crawls pages; exactly-once *file*
-semantics (ingest.py) do not dedup re-crawled *urls* across batches. This
-operator keys the stream by a url-hash prefix and keeps the set of seen
-url digests in state, emitting only first occurrences — the streaming twin
-of dedup_q.dedup_exact.
+Two variants, both with state that does NOT grow with corpus size (the
+round-1 version kept the full seen-digest set in state — O(corpus), which
+cannot survive 10^12 urls):
 
-State is keyed by a 2-hex-char shard of sha256(url) (256 shards), so
-state size per key stays bounded and shard cardinality is fixed
-regardless of stream size; a real deployment adds state TTL via
-GroupStateTimeout.ProcessingTimeTimeout for bounded retention.
+1. ``stream_dedup`` (default): Spark-native
+   ``dropDuplicatesWithinWatermark`` on the url digest — duplicates
+   arriving within the watermark retention are dropped and the state store
+   evicts digests once the watermark passes them, so state is bounded by
+   crawl-rate × retention. Re-crawls older than retention re-emit: the
+   standard bounded-state tradeoff, resolved downstream by the batch
+   dedup_exact pass (which is exact).
+
+2. ``stream_dedup_bloom``: the custom-stateful-operator demo
+   (``applyInPandasWithState``), state per 256-way url-hash shard is a
+   FIXED-SIZE bloom filter (BLOOM_BITS bits, K_HASHES sha-derived probes)
+   — never-grows bytes per shard. One-sided error: a duplicate is never
+   emitted twice; a genuinely new url may be dropped at the filter's
+   false-positive rate (~(fill)^k), acceptable for training-data dedup
+   where over-dropping is safe. Size BLOOM_BITS for the expected
+   per-shard cardinality at deployment scale (n ≈ BLOOM_BITS/13 per
+   shard at 1% FP with 4 probes); the sandbox default keeps 16 KiB per
+   shard = 4 MiB total state.
 """
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -28,31 +38,43 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 # batch id (shards are only invoked when they receive rows, so the same
 # drain can assign different values in different shards)
 OUT_SCHEMA = "url string, url_sha string, shard_drain_seq long"
-STATE_SCHEMA = "seen array<string>, n_batches long"
+STATE_SCHEMA = "bloom binary, n_batches long"
+
+BLOOM_BITS = 1 << 17  # 16 KiB per shard; size up with expected cardinality
+K_HASHES = 4
+
+
+def _bloom_positions(sha_hex: str) -> list[int]:
+    """K probe positions from independent 64-bit slices of sha256(url)."""
+    return [int(sha_hex[j * 16:(j + 1) * 16], 16) % BLOOM_BITS
+            for j in range(K_HASHES)]
 
 
 def _dedup_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
               state: GroupState) -> Iterator[pd.DataFrame]:
     if state.exists:
-        seen, batch_id = set(state.get[0]), int(state.get[1])
+        buf, batch_id = bytearray(state.get[0]), int(state.get[1])
     else:
-        seen, batch_id = set(), 0
+        buf, batch_id = bytearray(BLOOM_BITS // 8), 0
     out_urls, out_shas = [], []
     for pdf in pdfs:
         for url, sha in zip(pdf["url"], pdf["url_sha"]):
-            if sha not in seen:
-                seen.add(sha)
-                out_urls.append(url)
-                out_shas.append(sha)
-    state.update((sorted(seen), batch_id + 1))
+            pos = _bloom_positions(sha)
+            if all(buf[p >> 3] & (1 << (p & 7)) for p in pos):
+                continue  # seen before (or bloom false positive)
+            for p in pos:
+                buf[p >> 3] |= 1 << (p & 7)
+            out_urls.append(url)
+            out_shas.append(sha)
+    state.update((bytes(buf), batch_id + 1))
     if out_urls:
         yield pd.DataFrame({"url": out_urls, "url_sha": out_shas,
                             "shard_drain_seq": [batch_id] * len(out_urls)})
 
 
-def stream_dedup(pages_stream: DataFrame) -> DataFrame:
-    """streaming pages → first-occurrence-only rows, state per url-hash
-    shard. Input must be a streaming DataFrame with a `url` column."""
+def stream_dedup_bloom(pages_stream: DataFrame) -> DataFrame:
+    """streaming pages → first-occurrence-only rows; fixed-size bloom
+    state per url-hash shard (256 shards). Input needs a `url` column."""
     keyed = pages_stream.select(
         "url",
         F.sha2("url", 256).alias("url_sha"),
@@ -69,16 +91,29 @@ def stream_dedup(pages_stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_dedup(pages_stream: DataFrame,
+                 retention: str = "365 days") -> DataFrame:
+    """Scalable default: watermark-bounded exact dedup on the url digest.
+    State holds only digests younger than the watermark − retention;
+    Spark evicts the rest. Input needs `url` and event-time `warc_ts`."""
+    return (pages_stream
+            .select("url", F.sha2("url", 256).alias("url_sha"), "warc_ts")
+            .withWatermark("warc_ts", retention)
+            .dropDuplicatesWithinWatermark(["url_sha"]))
+
+
 def run_stream_dedup(spark, input_dir: str, output_dir: str,
-                     checkpoint_dir: str) -> int:
-    """Drain the pending backlog through the stateful dedup into a parquet
-    sink (the memory sink cannot recover from a checkpoint across drains);
-    returns total first-occurrence rows accumulated in the output."""
+                     checkpoint_dir: str, variant: str = "watermark") -> int:
+    """Drain the pending backlog through the chosen dedup variant into a
+    parquet sink (the memory sink cannot recover from a checkpoint across
+    drains); returns total first-occurrence rows accumulated."""
     from ..fixtures.pages import PAGES_SCHEMA
 
     stream = (spark.readStream.schema(PAGES_SCHEMA)
               .format("parquet").load(input_dir))
-    q = (stream_dedup(stream).writeStream
+    deduped = (stream_dedup(stream) if variant == "watermark"
+               else stream_dedup_bloom(stream))
+    q = (deduped.writeStream
          .format("parquet")
          .option("path", output_dir)
          .option("checkpointLocation", checkpoint_dir)

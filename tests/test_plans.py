@@ -181,3 +181,31 @@ def test_adaptive_topk_floor_binds(spark, tmp_path_factory):
     # control: 4 chunks (three 120-char at .714, tail 40-char at .455, all
     # >= 0.6*top=.429) -> nq=4 in [2,6] -> exactly nq rows
     assert len(got[2]) == 4
+
+
+def test_ivf_fine_scan_partition_prunes(spark):
+    """The IVF fine search must read ONLY the probed label= partitions of
+    the persisted ivf_vectors table — PartitionFilters on the scan, like
+    FAISS reading only the probed inverted lists."""
+    import re
+
+    from pdf_extract_spark.queries.vectors_q import (
+        _ivf_index_dir,
+        _queries_df,
+    )
+    from pdf_extract_spark.plans.index import ivf_probe_labels, ivf_search
+
+    d = _ivf_index_dir(spark, SF)
+    q = _queries_df(spark, SF)
+    fine = ivf_search(spark, d, q, k=10, nprobe=2)
+    plan = _plan(fine)
+    m = re.search(r"PartitionFilters: \[([^\]]*label[^\]]*)\]", plan)
+    assert m, plan
+    # the probe set is a strict subset of all labels, so files are pruned
+    import duckdb
+    n_labels = duckdb.connect().execute(
+        f"SELECT count(DISTINCT label) FROM read_parquet('{SF}/embeddings.parquet')"
+    ).fetchone()[0]
+    probed = {r["label"]
+              for r in ivf_probe_labels(spark, d, q, 2).collect()}
+    assert 0 < len(probed) < n_labels

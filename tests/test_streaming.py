@@ -89,24 +89,72 @@ def test_watermarked_rollup(spark, tmp_path_factory):
     assert {r["event_type"] for r in res} == {"view", "click"}
 
 
-def test_stateful_stream_dedup(spark, tmp_path_factory):
-    """applyInPandasWithState cross-batch dedup: re-crawled urls in later
-    batches are dropped; state survives across drains via checkpoint."""
+@pytest.mark.parametrize("variant", ["watermark", "bloom"])
+def test_stateful_stream_dedup(spark, tmp_path_factory, variant):
+    """Cross-batch dedup in both bounded-state variants: re-crawled urls
+    in later batches are dropped; state survives across drains via
+    checkpoint."""
     from pdf_extract_spark.streaming.stateful import run_stream_dedup
 
-    base = str(tmp_path_factory.mktemp("sdedup"))
+    base = str(tmp_path_factory.mktemp(f"sdedup_{variant}"))
     input_dir = os.path.join(base, "in")
     out = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
     os.makedirs(input_dir)
 
     _land_pages(spark, input_dir, 80, 0, "b1")
-    assert run_stream_dedup(spark, input_dir, out, ckpt) == 80
+    assert run_stream_dedup(spark, input_dir, out, ckpt,
+                            variant=variant) == 80
 
     # batch 2: 40 re-crawled urls (indices 40-79) + 30 new (80-109)
     _land_pages(spark, input_dir, 70, 40, "b2")
-    total = run_stream_dedup(spark, input_dir, out, ckpt)
+    total = run_stream_dedup(spark, input_dir, out, ckpt, variant=variant)
     # only the 30 genuinely new urls pass the stateful filter
     assert total == 110
     df = spark.read.parquet(out)
     assert df.count() == df.select("url").distinct().count() == 110
+
+
+def test_bloom_state_is_bounded():
+    """The custom operator's state is a FIXED-SIZE bloom filter: its byte
+    size is identical after 10 urls and after 5000 urls (the round-1
+    version stored the full seen set — O(corpus) state)."""
+    import hashlib
+
+    import pandas as pd
+
+    from pdf_extract_spark.streaming.stateful import BLOOM_BITS, _dedup_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    def batch(urls):
+        return pd.DataFrame({
+            "url": urls,
+            "url_sha": [hashlib.sha256(u.encode()).hexdigest()
+                        for u in urls],
+        })
+
+    st = FakeState()
+    small = [f"https://a.example/{i}" for i in range(10)]
+    out1 = list(_dedup_fn(("00",), iter([batch(small)]), st))
+    size_after_small = len(st.get[0])
+    assert sum(len(o) for o in out1) == 10
+
+    big = [f"https://b.example/{i}" for i in range(5000)]
+    list(_dedup_fn(("00",), iter([batch(big)]), st))
+    assert len(st.get[0]) == size_after_small == BLOOM_BITS // 8
+
+    # duplicates of the first batch are all dropped (one-sided error)
+    out3 = list(_dedup_fn(("00",), iter([batch(small)]), st))
+    assert sum(len(o) for o in out3) == 0
