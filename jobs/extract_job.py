@@ -33,9 +33,9 @@ def main() -> None:
     spark = get_spark(master=args.master, app_name=f"extract-{args.run_id}")
     try:
         if args.input.startswith("synth:"):
-            from pdf_extract_spark.fixtures.pages import pages_df
+            from pdf_extract_spark.sources.synth_pages import synth_pages
             n = int(args.input.split(":", 1)[1])
-            pages = pages_df(spark, n, partitions=args.partitions)
+            pages = synth_pages(spark, n, partitions=args.partitions)
         else:
             pages = spark.read.parquet(args.input)
 

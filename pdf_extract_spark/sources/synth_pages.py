@@ -1,0 +1,88 @@
+"""`synthpages` — a PySpark Python Data Source (DataSource V2 API) for the
+Common-Crawl-style pages table (url, warc_ts, html, text, lang).
+
+The round-1 engine generated bench/smoke inputs through a mapInPandas
+range expansion (fixtures/pages.pages_df). This is the same executor-side
+generation behind the idiomatic connector face (SURVEY S2/S7: sources as
+first-class plugs): each InputPartition owns an index range, workers
+synthesize their ranges independently (zero driver materialization, zero
+shuffle), and rows stream out as Arrow RecordBatches — the fast path the
+Python Data Source API offers over per-row tuples.
+
+Usage:
+    spark.dataSource.register(SynthPagesDataSource)
+    spark.read.format("synthpages").option("n", 300_000) \\
+         .option("numPartitions", 32).load()
+
+The deterministic content contract is fixtures/pages.make_rows — the same
+rows regardless of partitioning, so outputs are byte-comparable across
+parallelism levels (the scaling-bench invariant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+PAGES_DDL = ("url string, warc_ts timestamp, html binary, "
+             "text string, lang string")
+
+ROWS_PER_BATCH = 2048  # bound worker memory: multi-KB payloads per row
+
+
+class _Range(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class SynthPagesReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.num_partitions = int(options.get("numPartitions", 8))
+
+    def partitions(self):
+        span = (self.n + self.num_partitions - 1) // self.num_partitions
+        return [_Range(p * span, min((p + 1) * span, self.n))
+                for p in range(self.num_partitions)
+                if p * span < self.n]
+
+    def read(self, partition: _Range):
+        # import inside read(): runs on executors under --py-files
+        import pyarrow as pa
+
+        from ..fixtures.pages import make_rows
+
+        for a in range(partition.start, partition.end, ROWS_PER_BATCH):
+            rows = make_rows(min(ROWS_PER_BATCH, partition.end - a), start=a)
+            urls, tss, htmls, texts, langs = zip(*rows)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()),
+                 pa.array(tss, pa.timestamp("us")),
+                 pa.array(htmls, pa.binary()),
+                 pa.array(texts, pa.string()),
+                 pa.array(langs, pa.string())],
+                names=["url", "warc_ts", "html", "text", "lang"],
+            )
+
+
+class SynthPagesDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthpages"
+
+    def schema(self) -> str:
+        return PAGES_DDL
+
+    def reader(self, schema) -> SynthPagesReader:
+        return SynthPagesReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(SynthPagesDataSource)
+
+
+def synth_pages(spark, n: int, partitions: int = 8):
+    """pages DataFrame via the registered connector."""
+    register(spark)
+    return (spark.read.format("synthpages")
+            .option("n", n).option("numPartitions", partitions).load())

@@ -158,3 +158,20 @@ def test_bloom_state_is_bounded():
     # duplicates of the first batch are all dropped (one-sided error)
     out3 = list(_dedup_fn(("00",), iter([batch(small)]), st))
     assert sum(len(o) for o in out3) == 0
+
+
+def test_synthpages_data_source(spark):
+    """The Python Data Source connector generates the pages table on the
+    executors, partition-parallel, byte-identical to the mapInPandas
+    generator regardless of partitioning."""
+    from pdf_extract_spark.fixtures.pages import pages_df
+    from pdf_extract_spark.sources.synth_pages import synth_pages
+
+    ds = synth_pages(spark, 700, partitions=5)
+    assert ds.rdd.getNumPartitions() == 5
+    digest = ("sha2(concat_ws('|', url, cast(warc_ts as string), "
+              "sha2(html, 256), coalesce(text, ''), lang), 256) AS h")
+    a = ds.selectExpr(digest)
+    b = pages_df(spark, 700, partitions=3).selectExpr(digest)
+    assert a.count() == 700
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
