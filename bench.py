@@ -109,8 +109,10 @@ def _query_runs() -> dict:
     timings = {}
     try:
         for name in BENCH_QUERIES:
-            df = registry[name].fn(spark, SF_DIR)
+            # time plan CONSTRUCTION too: queries that do driver-side setup
+            # (index build/reuse, broadcast collect) must pay for it here
             t0 = time.monotonic()
+            df = registry[name].fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.monotonic() - t0, 3)
     finally:
@@ -118,10 +120,21 @@ def _query_runs() -> dict:
     return timings
 
 
+def _median_run(pages_path: str, cpus: int, tag: str,
+                pin: bool = False, reps: int = 3) -> dict:
+    """Median-of-N fresh-process runs: the shared host adds ±15-20% run
+    variance, so a single-shot efficiency ratio is noise (round-1
+    methodology, BENCH.md)."""
+    runs = [_extraction_run(pages_path, cpus, f"{tag}_r{i}", pin=pin)
+            for i in range(reps)]
+    runs.sort(key=lambda r: r["docs_per_s"])
+    return runs[reps // 2]
+
+
 def main() -> None:
     pages_path = _materialize_pages(N_DOCS)
 
-    high = _extraction_run(pages_path, CPUS, f"hi{CPUS}")
+    high = _median_run(pages_path, CPUS, f"hi{CPUS}")
     scaling = {}
     if DO_SCALING and LOW_CPUS < CPUS:
         def pair(lo: dict, hi: dict) -> dict:
@@ -133,11 +146,11 @@ def main() -> None:
                 "efficiency": round(
                     hi["docs_per_s"] / (factor * lo["docs_per_s"]), 3),
             }
-        mid = _extraction_run(pages_path, LOW_CPUS, f"lo{LOW_CPUS}", pin=True)
+        mid = _median_run(pages_path, LOW_CPUS, f"lo{LOW_CPUS}", pin=True)
         scaling = {"pair_shared_box": pair(mid, high)}
         low2 = max(CPUS // 16, 1)
         if low2 < LOW_CPUS:
-            tiny = _extraction_run(pages_path, low2, f"lo{low2}", pin=True)
+            tiny = _median_run(pages_path, low2, f"lo{low2}", pin=True)
             # executor proxy: both sizes pinned, machine unsaturated — each
             # "cluster size" gets dedicated cores (see BENCH.md methodology)
             scaling["pair_executor_proxy"] = pair(tiny, mid)

@@ -71,18 +71,21 @@ def _analyze_one(text: str) -> dict:
     overlap = full & in_summary
     confidence = (len(overlap) / len(full)) if full else 0.0
     # Summary-only degraded mode (states.py:35, agents.py:588-593): entity
-    # extraction yielded nothing but a summary exists -> continue with the
-    # lowered 0.2 acceptance threshold instead of erroring (agents.py:853).
+    # extraction yielded nothing but a summary exists -> the reference
+    # CONTINUES the workflow, returning verified_data with low confidence
+    # instead of erroring (agents.py:826-833, 884-890) — so the doc is
+    # accepted (verified) with the flag set and confidence 0.0. The
+    # NUMERIC 0.2-vs-0.3 score gate applies where scores exist, on the
+    # search side: queries/search_q.verify_gate_modes.
     n_entities = entity_count(ents)
     summary_only = n_entities == 0 and bool(summary)
-    min_score = 0.2 if summary_only else 0.3
     return {
         "summary": summary,
         "entities": ents,
         "n_entities": n_entities,
         "n_chunks": len(chunks),
         "confidence": confidence,
-        "verified": confidence >= min_score,
+        "verified": summary_only or confidence >= 0.3,
         "summary_only_mode": summary_only,
     }
 

@@ -83,16 +83,25 @@ def search_index(spark: SparkSession, index_path: str, query_text: str,
     # broad_k-row result.
     broad = scored.orderBy(F.desc("score"), F.asc("url"),
                            F.asc("chunk_idx")).limit(broad_k)
+    # adaptive cut, full reference clamp (tools.py:369-391): count the
+    # quality rows (≥60% of top), slice to that count clamped to
+    # [max(k//2,2), 2k], falling back to min(k, n) when fewer than the
+    # minimum qualify — same semantics as queries/chunks_q.adaptive_topk.
+    # The windows below are unpartitioned BUT run on the ≤broad_k-row
+    # result of the distributed TakeOrderedAndProject, never on the index.
     w = Window.orderBy(F.desc("score"), F.asc("url"), F.asc("chunk_idx"))
-    broad = broad.withColumn("rn", F.row_number().over(w))
-    # adaptive cut: keep ≥60% of top score, clamp to [max(k//2,2), 2k]
-    top = broad.agg(F.max("score").alias("t"))
-    kept = (broad.crossJoin(F.broadcast(top))
-            .filter((F.col("score") >= 0.6 * F.col("t"))
-                    | (F.col("rn") <= max(k // 2, 2)))
-            .filter(F.col("rn") <= 2 * k)
-            .drop("t"))
-    return kept
+    wall = Window.partitionBy()
+    min_r = max(k // 2, 2)
+    j = (broad.withColumn("rn", F.row_number().over(w))
+         .withColumn("t", F.max("score").over(wall))
+         .withColumn("n", F.count("*").over(wall))
+         .withColumn("nq", F.sum(
+             F.expr("CAST(score >= CAST(0.6 AS DOUBLE) * t AS INT)"))
+             .over(wall)))
+    return (j.filter(F.expr(
+        f"rn <= CASE WHEN nq < {min_r} THEN least({k}, n)"
+        f" WHEN nq > {2 * k} THEN {2 * k} ELSE nq END"))
+        .drop("t", "n", "nq"))
 
 
 # --- persisted IVF index (S3/S4 as tables; reference tools.py:115-140) ----
@@ -148,10 +157,14 @@ def ivf_search(spark: SparkSession, index_dir: str, q: DataFrame,
     ONLY the probed ivf_vectors partitions (static `label IN (...)`
     filter from the tiny collected probe set → file-level partition
     pruning, the FAISS inverted-list read). Fine top-k per qid."""
-    probes = ivf_probe_labels(spark, index_dir, q, nprobe)
-    # probe set is queries × nprobe rows — tiny by construction; collecting
-    # it turns per-list reads into static partition pruning on the scan
-    labels = sorted({r["label"] for r in probes.select("label").collect()})
+    probes_df = ivf_probe_labels(spark, index_dir, q, nprobe)
+    # probe set is queries × nprobe rows — tiny by construction; collect it
+    # ONCE: the collected rows yield both the static partition-pruning
+    # label list and the per-qid probe table (rebuilding the DataFrame
+    # locally avoids re-running the coarse-quantization job in the join)
+    probe_rows = probes_df.collect()
+    labels = sorted({r["label"] for r in probe_rows})
+    probes = spark.createDataFrame(probe_rows, probes_df.schema)
     vecs = (spark.read.parquet(os.path.join(index_dir, "ivf_vectors"))
             .filter(F.col("label").isin(labels)))
     l2 = ("aggregate(zip_with(qv, embedding, (x, y) -> (CAST(x AS DOUBLE)"

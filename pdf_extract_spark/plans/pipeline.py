@@ -189,7 +189,12 @@ def run_extraction(
     lineage_dir = os.path.join(out_dir, "lineage")
 
     # run-level commit protocol: drop data from runs that crashed before
-    # their lineage (= commit marker) was written
+    # their lineage (= commit marker) was written, and sweep lineage temp
+    # files orphaned by a crash inside _publish_lineage itself (written
+    # but never renamed — their runs are uncommitted by definition)
+    for name in os.listdir(out_dir) if os.path.isdir(out_dir) else []:
+        if name.startswith("_lineage_tmp_"):
+            os.remove(os.path.join(out_dir, name))
     committed = _committed_run_ids(spark, lineage_dir)
     _cleanup_uncommitted(extracted_dir, committed)
     if run_id in committed:

@@ -311,6 +311,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = emb.unionByName(
         emb.filter(F.col("vec_id") % 20 == 0)
         .select((F.col("vec_id") + 100_000).alias("vec_id"), "embedding"))
+    # persist: aug feeds FOUR consumers (driver collect, candidate scan,
+    # both exact-verify join sides) — materialize once, not per subtree
+    aug = aug.persist()
 
     import numpy as np
 

@@ -296,7 +296,7 @@ _NAMES_PAT = "[A-Z][a-z]+ [A-Z][a-z]+"
     modes AS (
       SELECT doc_id AS qid,
              NOT regexp_matches(
-               CASE WHEN doc_id % 5 = 0 THEN {_INJECT} ELSE text END,
+               CASE WHEN doc_id % 3 = 0 THEN {_INJECT} ELSE text END,
                '{_NAMES_PAT}') AS summary_only_mode
       FROM documents WHERE doc_id < 5),
     d AS (
@@ -332,10 +332,12 @@ def verify_gate_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     agents.py:853-864) next to the 0.3 strict gate, with the
     summary_only_mode flag surfaced as an output column (states.py:35).
     Mode derives from data, like the reference's degraded-analyze
-    trigger: a query doc with NO extractable name entities runs in
-    summary-only mode. Fixture bands: qid0 full+0.24 → rejected, qid1/3
-    strict pass, qid2 degraded pass (the new branch), qid4 0.12 → fails
-    even degraded."""
+    trigger: a query doc with NO extractable name entities (doc_id%3==0
+    docs carry injected names → full mode) runs in summary-only mode.
+    Fixture bands cover every branch: qid0 full+avg .24 → rejected
+    (strict reject), qid3 full+.48 → verified (strict pass), qid1
+    summary+.48 → verified, qid2 summary+.23 → degraded pass (the
+    0.2-window branch), qid4 summary+.12 → fails even degraded."""
     emb = tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     docs = tbl(spark, sf_dir, "documents")
     q = (emb.filter(F.col("vec_id") < 5)
@@ -347,7 +349,7 @@ def verify_gate_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
                         " ELSE CAST(1.0 AS DOUBLE) END)").alias("qv")))
     modes = (docs.filter(F.col("doc_id") < 5)
              .select(F.col("doc_id").alias("qid"),
-                     (~F.expr(f"CASE WHEN doc_id % 5 = 0 THEN {_SPARK_INJECT}"
+                     (~F.expr(f"CASE WHEN doc_id % 3 = 0 THEN {_SPARK_INJECT}"
                               f" ELSE text END rlike '{_NAMES_PAT}'"))
                      .alias("summary_only_mode")))
     d = (F.broadcast(q).crossJoin(emb)

@@ -291,18 +291,34 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Build (once per sf_dir, cached on disk) the persisted IVF index:
-    ivf_vectors partitioned by label + ivf_centroids."""
+    """Build (once per source-table content, cached on disk) the persisted
+    IVF index: ivf_vectors partitioned by label + ivf_centroids.
+
+    Cache key includes the embeddings file's size+mtime fingerprint, so a
+    regenerated fixture table never silently reuses a stale index; the
+    build goes to a staging dir atomically renamed into place, so
+    concurrent sessions race safely (the loser discards its staging)."""
     import hashlib
     import os
+    import shutil
     import tempfile
+    import uuid
 
     from ..plans.index import write_ivf_index
 
-    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha256(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}".encode()).hexdigest()[:16]
     d = os.path.join(tempfile.gettempdir(), f"pdfx_ivf_{tag}")
-    if not os.path.exists(os.path.join(d, "ivf_centroids", "_SUCCESS")):
-        write_ivf_index(tbl(spark, sf_dir, "embeddings"), d)
+    if os.path.exists(os.path.join(d, "ivf_centroids", "_SUCCESS")):
+        return d
+    staging = f"{d}.build-{uuid.uuid4().hex[:8]}"
+    write_ivf_index(tbl(spark, sf_dir, "embeddings"), staging)
+    try:
+        os.rename(staging, d)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)  # lost the race; reuse d
     return d
 
 
