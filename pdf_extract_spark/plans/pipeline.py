@@ -153,7 +153,7 @@ def lineage_rows(extracted: DataFrame, run_id: str) -> DataFrame:
 
 
 def _publish_lineage(lineage: DataFrame, out_dir: str, lineage_dir: str,
-                     run_id: str) -> None:
+                     run_id: str):
     """Atomically publish a run's lineage as ONE parquet file.
 
     Lineage presence is the run's commit marker, so the marker itself must
@@ -175,6 +175,7 @@ def _publish_lineage(lineage: DataFrame, out_dir: str, lineage_dir: str,
     tmp = os.path.join(out_dir, f"_lineage_tmp_{safe}.parquet")
     pq.write_table(tab, tmp)
     os.replace(tmp, os.path.join(lineage_dir, f"run-{safe}.parquet"))
+    return tab
 
 
 def run_extraction(
@@ -230,20 +231,30 @@ def run_extraction(
         # the resume snapshot is only needed while the plan above executes
         shutil.rmtree(snap_dir, ignore_errors=True)
 
-    # lineage from a column-pruned re-read of what was just committed
-    staged = (spark.read.parquet(extracted_dir)
-              .filter(F.col("run_id") == run_id)
-              .select("partition_id", "text_sha256", "error"))
-    _publish_lineage(lineage_rows(staged, run_id), out_dir, lineage_dir, run_id)
+    # Lineage from a column-pruned re-read of what was just committed.
+    # Split planning sizes tasks by FULL file bytes (the pruned sha column
+    # is a fraction of that), so under the session's small decode-oriented
+    # maxPartitionBytes this tiny job would fan out into hundreds of tasks
+    # — widen splits for its duration (scheduling overhead is a FIXED
+    # driver cost that would otherwise eat into high-parallelism scaling).
+    mpb_key = "spark.sql.files.maxPartitionBytes"
+    mpb_old = spark.conf.get(mpb_key)
+    spark.conf.set(mpb_key, str(512 * 1024 * 1024))
+    try:
+        staged = (spark.read.parquet(extracted_dir)
+                  .filter(F.col("run_id") == run_id)
+                  .select("partition_id", "text_sha256", "error"))
+        tab = _publish_lineage(lineage_rows(staged, run_id), out_dir,
+                               lineage_dir, run_id)
+    finally:
+        spark.conf.set(mpb_key, mpb_old)
 
-    row = (spark.read.parquet(lineage_dir)
-           .filter(F.col("run_id") == run_id)
-           .agg(F.coalesce(F.sum("n_in"), F.lit(0)).alias("n_in"),
-                F.coalesce(F.sum("n_err"), F.lit(0)).alias("n_err"))
-           .collect()[0])
-    n_in, n_err = int(row["n_in"]), int(row["n_err"])
-    return {"run_id": run_id, "n_in": n_in, "n_ok": n_in - n_err,
-            "n_err": n_err}
+    # run counters from the just-published lineage table (same rows that
+    # landed in the commit marker — no extra Spark job)
+    n_in = sum(tab.column("n_in").to_pylist()) if tab.num_rows else 0
+    n_err = sum(tab.column("n_err").to_pylist()) if tab.num_rows else 0
+    return {"run_id": run_id, "n_in": int(n_in), "n_ok": int(n_in - n_err),
+            "n_err": int(n_err)}
 
 
 def extracted_ok(spark: SparkSession, out_dir: str) -> DataFrame:
