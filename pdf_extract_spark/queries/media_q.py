@@ -1,0 +1,105 @@
+"""Multimodal plumbing under the driver's value-exact gate.
+
+The media payloads are constructed IN-QUERY from a shared hex expression
+(identical arithmetic in Spark and DuckDB, `unhex`/`from_hex` at the
+end), so the fixture tables stay untouched and both engines see
+byte-identical MMK1 containers (operators/multimodal.py stub format).
+The Spark side then runs the REAL binary plumbing — `decode_media`
+(Arrow-batched struct parse) and `sample_frames` (1-row-in → N-rows-out
+frame explosion) — while the oracle computes the expected outputs
+arithmetically from the same construction. This turns the multimodal
+path from pytest-only into driver-checked, value-exact coverage (frame
+DIGESTS stay pytest-only: DuckDB's sha256 accepts VARCHAR, not BLOB).
+
+Container layout under test: 4-byte magic + kind byte + 4×uint32-LE
+(width, height, sample_rate, n_frames) + 64 sample bytes; every doc_id
+maps to one payload, kind cycling image/audio/video, and doc_id % 7 == 0
+gets a corrupt magic to exercise the quarantine taxonomy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import register, tbl
+
+# dims kept < 256 so the little-endian uint32 hex is lpad(hex(v),2)+'000000'
+_PAYLOAD_HEX = (
+    "concat("
+    "CASE WHEN doc_id % 7 = 0 THEN '41414242' ELSE '4D4D4B31' END,"
+    " lpad(hex(doc_id % 3 + 1), 2, '0'),"
+    " lpad(hex(doc_id % 64 + 16), 2, '0'), '000000',"
+    " lpad(hex(doc_id % 48 + 16), 2, '0'), '000000',"
+    " lpad(hex(doc_id % 32 + 16), 2, '0'), '000000',"
+    " lpad(hex(doc_id % 24 + 16), 2, '0'), '000000',"
+    " repeat('DEADBEEF', 16))"
+)
+_N_BYTES = 4 + 1 + 16 + 64  # magic + kind + 4 dims + samples
+
+
+def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.expr(f"unhex({_PAYLOAD_HEX})").alias("payload"))
+
+
+@register(
+    "media_meta",
+    oracle=f"""
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           CAST(CASE WHEN doc_id % 7 = 0 THEN 0
+                     ELSE doc_id % 64 + 16 END AS INTEGER) AS width,
+           CAST(CASE WHEN doc_id % 7 = 0 THEN 0
+                     ELSE doc_id % 48 + 16 END AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 7 = 0 THEN 0
+                     ELSE doc_id % 32 + 16 END AS INTEGER) AS sample_rate,
+           CAST(CASE WHEN doc_id % 7 = 0 THEN 0
+                     ELSE doc_id % 24 + 16 END AS INTEGER) AS n_frames,
+           CAST({_N_BYTES} AS BIGINT) AS n_bytes,
+           CASE WHEN doc_id % 7 = 0 THEN 'unknown_container'
+                ELSE NULL END AS error
+    FROM documents
+    """,
+)
+def media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media decode under the value-exact gate: the Spark side
+    round-trips the constructed container bytes through the REAL
+    Arrow-batched `decode_media` struct parse (operators/multimodal.py);
+    the oracle states the expected typed metadata arithmetically.
+    Corrupt-magic rows land in the error column, not as exceptions —
+    same quarantine discipline as the text extract pipeline."""
+    from ..operators.multimodal import decode_media
+
+    return decode_media(_media_df(spark, sf_dir))
+
+
+@register(
+    "media_frames",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id,
+             doc_id % 24 + 16 AS frames,
+             greatest(64 // (doc_id % 24 + 16), 1) AS stride
+      FROM documents WHERE doc_id % 3 = 2 AND doc_id % 7 <> 0)
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(i.range AS INTEGER) AS frame_idx,
+           CAST(i.range * stride AS BIGINT) AS frame_off
+    FROM v CROSS JOIN range(0, 40) i
+    WHERE i.range % 4 = 0 AND i.range < frames AND i.range * stride < 64
+    """,
+)
+def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (1-in→N-out mapInPandas, the UDTF shape) under the
+    value-exact gate: every 4th frame of each valid video payload, with
+    byte offsets from the kernel's stride arithmetic
+    (stride = len(samples) // n_eff). Digests are excluded here (DuckDB
+    sha256 is VARCHAR-only) and remain pytest-verified."""
+    from ..operators.multimodal import sample_frames
+
+    return (sample_frames(_media_df(spark, sf_dir))
+            .select("media_id", "frame_idx", "frame_off"))
