@@ -101,7 +101,10 @@ def _extraction_run(pages_path: str, cpus: int, tag: str,
     return json.loads(line)
 
 
-WARM_SF = "/root/testdata/sf0.001"
+# warm-up uses the smallest sibling SF of the bench data root (falls back
+# to SF_DIR itself if no sf0.001 sibling exists)
+_warm = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
+WARM_SF = _warm if os.path.isdir(_warm) else SF_DIR
 
 
 def _query_runs() -> dict:

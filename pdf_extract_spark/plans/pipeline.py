@@ -153,8 +153,10 @@ def lineage_rows(extracted: DataFrame, run_id: str) -> DataFrame:
 
 
 def _publish_lineage(lineage: DataFrame, out_dir: str, lineage_dir: str,
-                     run_id: str):
-    """Atomically publish a run's lineage as ONE parquet file.
+                     run_id: str) -> "pyarrow.Table":
+    """Atomically publish a run's lineage as ONE parquet file and return
+    the published rows as the Arrow table (callers derive run counters
+    from it without another Spark job).
 
     Lineage presence is the run's commit marker, so the marker itself must
     appear atomically: a multi-file Spark append under committer v2 can
@@ -237,6 +239,10 @@ def run_extraction(
     # maxPartitionBytes this tiny job would fan out into hundreds of tasks
     # — widen splits for its duration (scheduling overhead is a FIXED
     # driver cost that would otherwise eat into high-parallelism scaling).
+    # NOTE: session-global conf mutation — any scan planned on this shared
+    # session during the window below gets 512 MB splits. All callers are
+    # single-threaded today; give run_extraction a dedicated session before
+    # adding concurrency.
     mpb_key = "spark.sql.files.maxPartitionBytes"
     mpb_old = spark.conf.get(mpb_key)
     spark.conf.set(mpb_key, str(512 * 1024 * 1024))

@@ -292,9 +292,9 @@ _LANG_PROBES = {
 }
 
 
-def _hits_expr(lang: str, filter_fn: str) -> str:
+def _hits_expr(lang: str, filter_fn: str, len_fn: str) -> str:
     lst = ", ".join(f"'{w}'" for w in _LANG_PROBES[lang].split())
-    return f"len({filter_fn}(w, x -> x IN ({lst})))"
+    return f"{len_fn}({filter_fn}(w, x -> x IN ({lst})))"
 
 
 @register(
@@ -307,10 +307,10 @@ def _hits_expr(lang: str, filter_fn: str) -> str:
       FROM documents),
     h AS (
       SELECT doc_id, lang, n_cjk, n,
-             {_hits_expr('en', 'list_filter')} AS en_h,
-             {_hits_expr('fr', 'list_filter')} AS fr_h,
-             {_hits_expr('es', 'list_filter')} AS es_h,
-             {_hits_expr('de', 'list_filter')} AS de_h
+             {_hits_expr('en', 'list_filter', 'len')} AS en_h,
+             {_hits_expr('fr', 'list_filter', 'len')} AS fr_h,
+             {_hits_expr('es', 'list_filter', 'len')} AS es_h,
+             {_hits_expr('de', 'list_filter', 'len')} AS de_h
       FROM t)
     SELECT doc_id, lang,
            CASE WHEN n > 0 AND CAST(n_cjk AS DOUBLE) / n > 0.05 THEN 'zh'
@@ -343,7 +343,7 @@ def lang_id_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n"))
     h = t.select(
         "doc_id", "lang", "n_cjk", "n",
-        *[F.expr(_hits_expr(lang, "filter").replace("len(", "size(", 1))
+        *[F.expr(_hits_expr(lang, "filter", "size"))
           .alias(f"{lang}_h") for lang in ("en", "fr", "es", "de")])
     pred = F.expr(
         "CASE WHEN n > 0 AND CAST(n_cjk AS DOUBLE) / n > 0.05 THEN 'zh'"
