@@ -27,6 +27,11 @@ SMOKE = [
     "dedup_minhash_lsh",
     "entity_extract",
     "extract_roundtrip",
+    "query_variants",
+    "verify_gate_modes",
+    "media_meta",
+    "media_frames",
+    "lang_id_sql",
 ]
 
 
