@@ -23,6 +23,7 @@ near-dup baseline, whose scale path is the IVF/bucketed variant
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from . import register, tbl
 
@@ -111,9 +112,7 @@ _SPARK_MH = ", ".join(
 )
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
+_MINHASH_ORACLE_SQL = f"""
     WITH {_DUCK_AUG},
     sh AS (
       SELECT doc_id, {_duck_shingles(3)} AS shingles
@@ -148,8 +147,10 @@ _SPARK_MH = ", ".join(
     JOIN sizes sa ON sa.doc_id = a_id
     JOIN sizes sb ON sb.doc_id = b_id
     WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
-    """,
-)
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup: 3-gram shingles → 8 min-over-sha256(shingle+seed)
     permutations → 4 bands of 2 → band-key equi-join candidates → exact
@@ -466,3 +467,78 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("a_id", "b_id",
                     F.expr(f"{dot} / ({na} * {nb})").alias("cos_sim"))
             .filter(F.col("cos_sim") >= 0.99))
+
+
+
+
+def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """(a_id, b_id) undirected pair table → (node, label) with label = min
+    node id in the component. Iterative hash-to-min propagation; each round
+    is one join + one min-aggregate, localCheckpoint truncates lineage."""
+    edges = (pairs.unionByName(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id")))
+        .withColumnRenamed("a_id", "src").withColumnRenamed("b_id", "dst")
+        .persist())
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint())
+    for _ in range(max_rounds):
+        prop = (edges.join(labels, edges.src == labels.node)
+                .select(F.col("dst").alias("node"), "label"))
+        new_labels = (labels.unionByName(prop)
+                      .groupBy("node").agg(F.min("label").alias("label"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.expr("n.label < o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_rounds} rounds")
+    edges.unpersist()
+    return labels
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    p AS (SELECT a_id, b_id FROM ({_MINHASH_ORACLE_SQL}) mh),
+    e AS (SELECT a_id AS src, b_id AS dst FROM p
+          UNION ALL SELECT b_id, a_id FROM p),
+    n AS (SELECT DISTINCT src AS node FROM e),
+    reach(node, label) AS (
+      SELECT node, node FROM n
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.node),
+    comp AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node)
+    SELECT node AS doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           node = cluster_id AS is_canonical,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+    FROM comp
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over the minhash pair
+    graph, canonical doc = min doc_id per component — the transitive-
+    closure step a real dedup pipeline runs after pair generation (A~B
+    and B~C must collapse into one cluster even when A~C was never a
+    candidate pair).
+
+    Spark shape: iterative hash-to-min label propagation — each round
+    joins edges to current labels and takes the per-node MIN; converges
+    in ≤ graph-diameter rounds (localCheckpoint truncates the growing
+    lineage each round; the convergence probe is a tiny count). At
+    10^12-doc scale the same loop runs with the alternating
+    large-star/small-star optimization (Kiveris et al., "Connected
+    Components in MapReduce"), identical per-round plan shape. The
+    oracle is a recursive-CTE min-label closure over the same pairs."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
+    labels = connected_components(pairs, max_rounds=20)
+    w = Window.partitionBy("cluster_id")
+    return (labels.select(F.col("node").alias("doc_id"),
+                          F.col("label").alias("cluster_id"))
+            .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+            .withColumn("n_members", F.count("*").over(w)))

@@ -209,3 +209,20 @@ def test_ivf_fine_scan_partition_prunes(spark):
     probed = {r["label"]
               for r in ivf_probe_labels(spark, d, q, 2).collect()}
     assert 0 < len(probed) < n_labels
+
+
+def test_connected_components_transitive_chain(spark):
+    """A~B, B~C without A~C must collapse into ONE cluster (the closure
+    step pair generation alone cannot give); two disjoint chains stay
+    separate and a long chain converges within the round cap."""
+    from pdf_extract_spark.queries.dedup_q import connected_components
+
+    pairs = [(1, 2), (2, 3), (3, 4),          # chain: component min 1
+             (10, 11), (12, 11),              # component min 10
+             *[(100 + i, 101 + i) for i in range(15)]]  # long chain, min 100
+    df = spark.createDataFrame(pairs, "a_id long, b_id long")
+    got = {r["node"]: r["label"]
+           for r in connected_components(df, max_rounds=20).collect()}
+    assert {got[n] for n in (1, 2, 3, 4)} == {1}
+    assert {got[n] for n in (10, 11, 12)} == {10}
+    assert {got[100 + i] for i in range(16)} == {100}
