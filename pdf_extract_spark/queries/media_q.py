@@ -23,7 +23,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import register, tbl
 
-# dims kept < 256 so the little-endian uint32 hex is lpad(hex(v),2)+'000000'
+# dims kept < 256 so the little-endian uint32 hex is lpad(hex(v),2)+'000000';
+# the 64 sample bytes all carry the per-doc value doc_id % 240 + 16, so the
+# feature histogram puts all mass in one doc-determined bin (media_features)
 _PAYLOAD_HEX = (
     "concat("
     "CASE WHEN doc_id % 7 = 0 THEN '41414242' ELSE '4D4D4B31' END,"
@@ -32,7 +34,7 @@ _PAYLOAD_HEX = (
     " lpad(hex(doc_id % 48 + 16), 2, '0'), '000000',"
     " lpad(hex(doc_id % 32 + 16), 2, '0'), '000000',"
     " lpad(hex(doc_id % 24 + 16), 2, '0'), '000000',"
-    " repeat('DEADBEEF', 16))"
+    " repeat(lpad(hex(doc_id % 240 + 16), 2, '0'), 64))"
 )
 _N_BYTES = 4 + 1 + 16 + 64  # magic + kind + 4 dims + samples
 
@@ -103,3 +105,31 @@ def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (sample_frames(_media_df(spark, sf_dir))
             .select("media_id", "frame_idx", "frame_off"))
+
+
+@register(
+    "media_features",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CASE WHEN doc_id % 7 = 0 THEN NULL
+                ELSE list_transform(range(0, 8),
+                       i -> CAST(CASE WHEN i = (doc_id % 240 + 16) // 32
+                                      THEN 1.0 ELSE 0.0 END AS REAL))
+           END AS feature,
+           CASE WHEN doc_id % 7 = 0 THEN 'unknown_container'
+                ELSE NULL END AS error
+    FROM documents
+    """,
+)
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media feature extraction under the value-exact gate: the REAL
+    numpy-vectorized byte-histogram kernel (operators/multimodal.
+    media_features, the image-embedding stand-in) runs on the constructed
+    containers; every valid payload's 64 sample bytes carry one per-doc
+    value, so the L1-normalized 8-bin histogram is 1.0 in bin
+    (value >> 5) — stated arithmetically by the oracle, including the
+    corrupt-magic NULL/error branch. Output is array<float>, ready for
+    the vector search stack."""
+    from ..operators.multimodal import media_features as mf
+
+    return mf(_media_df(spark, sf_dir))

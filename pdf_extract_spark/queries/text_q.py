@@ -543,3 +543,71 @@ def analyze_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("url").cast("bigint").alias("doc_id"),
                       "summary", "n_entities", "n_chunks",
                       "confidence", "verified")
+
+
+@register(
+    "doc_repetition",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    base AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct,
+             CASE WHEN len(words) >= 2 THEN
+               list_transform(range(1, len(words)),
+                              i -> words[i] || ' ' || words[i + 1])
+             ELSE [] END AS grams
+      FROM w),
+    g AS (SELECT doc_id, unnest(grams) AS gram FROM base),
+    gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram),
+    top AS (SELECT doc_id, MAX(c) AS top_c, CAST(SUM(c) AS BIGINT) AS n_grams
+            FROM gc GROUP BY doc_id)
+    SELECT b.doc_id, b.n_words,
+           CAST(1.0 AS DOUBLE)
+             - CAST(b.n_distinct AS DOUBLE) / b.n_words AS frac_dup_words,
+           CAST(t.top_c AS DOUBLE) / t.n_grams AS top_bigram_frac,
+           (CAST(1.0 AS DOUBLE) - CAST(b.n_distinct AS DOUBLE) / b.n_words
+              > CAST(0.7 AS DOUBLE)
+            OR CAST(t.top_c AS DOUBLE) / t.n_grams > CAST(0.2 AS DOUBLE))
+             AS repetitive
+    FROM base b JOIN top t ON b.doc_id = t.doc_id
+    WHERE b.n_words >= 2
+    """,
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (training-data op, the
+    Gopher-rules shape: duplicate-word fraction and most-frequent-bigram
+    fraction, with reject thresholds). One explode + two aggregations on
+    doc_id — a single shuffle key end to end, no joins across docs."""
+    docs = tbl(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("words"),
+    ).select(
+        "doc_id",
+        F.size("words").cast("bigint").alias("n_words"),
+        F.size(F.array_distinct("words")).cast("bigint").alias("n_distinct"),
+        F.expr("CASE WHEN size(words) >= 2 THEN"
+               " transform(sequence(1, size(words) - 1),"
+               " i -> concat(element_at(words, i), ' ',"
+               " element_at(words, i + 1)))"
+               " ELSE array() END").alias("grams"),
+    ).filter(F.col("n_words") >= 2)
+    g = base.select("doc_id", F.explode("grams").alias("gram"))
+    gc = g.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    top = gc.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"),
+        F.sum("c").cast("bigint").alias("n_grams"))
+    dup = F.expr("CAST(1.0 AS DOUBLE)"
+                 " - CAST(n_distinct AS DOUBLE) / n_words")
+    big = F.expr("CAST(top_c AS DOUBLE) / n_grams")
+    return (base.select("doc_id", "n_words", "n_distinct")
+            .join(top, "doc_id")
+            .select(
+                "doc_id", "n_words",
+                dup.alias("frac_dup_words"),
+                big.alias("top_bigram_frac"),
+                ((dup > F.expr("CAST(0.7 AS DOUBLE)"))
+                 | (big > F.expr("CAST(0.2 AS DOUBLE)")))
+                .alias("repetitive")))
