@@ -377,3 +377,71 @@ def verify_gate_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CASE WHEN summary_only_mode THEN 'summary_only'"
                " ELSE 'full' END").alias("mode"),
     )
+
+
+@register(
+    "lexical_topk",
+    oracle=f"""
+    WITH {_DUCK_VARIANTS},
+    qterms AS (
+      SELECT qid, unnest(list_distinct(string_split(vtext, ' '))) AS term
+      FROM variants WHERE variant = 'keywords'),
+    n_docs AS (SELECT COUNT(*) AS n FROM documents),
+    posts AS (
+      -- join DISTINCT terms, not (qid, term): a term shared by several
+      -- queries must not multiply tf
+      SELECT d.doc_id, t.term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents) d
+      JOIN (SELECT DISTINCT term FROM qterms) t ON t.term = d.w
+      GROUP BY d.doc_id, t.term),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM posts GROUP BY term),
+    scored AS (
+      SELECT q.qid, p.doc_id,
+             CAST(SUM(p.tf * CAST(floor(CAST(1000000 AS DOUBLE) * n.n / f.df)
+                                  AS BIGINT)) AS BIGINT) AS score
+      FROM qterms q
+      JOIN posts p ON p.term = q.term
+      JOIN df f ON f.term = q.term
+      CROSS JOIN n_docs n
+      GROUP BY q.qid, p.doc_id)
+    SELECT qid, doc_id, score, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY score DESC, doc_id) AS rn
+      FROM scored) t WHERE rn <= {K_MAIN}
+    """,
+)
+def lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text lexical retrieval: inverted-index TF-IDF top-k (the
+    BM25-family shape — posting lists via explode, document frequencies,
+    per-query-term scoring, per-query top-k). IDF is integer-scaled
+    (floor(1e6 · N/df)) so per-doc score sums are INTEGER — exact and
+    order-insensitive under Spark's partial/final aggregation, no float
+    log whose libm could differ between engines.
+
+    Scale shape: query terms broadcast; the posting-list build is one
+    explode + groupBy keyed by (doc, term); df and scores reuse the same
+    posting table. At corpus scale the posting/df tables are a persisted
+    inverted index, not recomputed per query."""
+    docs = tbl(spark, sf_dir, "documents")
+    qterms = (_variant_texts(spark, sf_dir)
+              .filter(F.col("variant") == "keywords")
+              .select("qid", F.explode(
+                  F.array_distinct(F.split("vtext", " "))).alias("term")))
+    n = docs.count()
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    posts = (words.join(F.broadcast(qterms.select("term").distinct()),
+                        words.w == F.col("term"))
+             .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
+    df_t = posts.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"))
+    idf = F.expr(f"CAST(floor(CAST(1000000 AS DOUBLE) * {n} / df) AS BIGINT)")
+    scored = (qterms.join(posts, "term")
+              .join(F.broadcast(df_t.select("term", idf.alias("idf"))), "term")
+              .groupBy("qid", "doc_id")
+              .agg(F.sum(F.col("tf") * F.col("idf")).cast("bigint")
+                   .alias("score")))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rn") <= K_MAIN))
