@@ -471,34 +471,41 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+def connected_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     """(a_id, b_id) undirected pair table → (node, label) with label = min
     node id in the component. Iterative hash-to-min propagation; each round
-    is one join + one min-aggregate, localCheckpoint truncates lineage."""
+    is one join + one min-aggregate, localCheckpoint truncates lineage.
+
+    Convergence = a round that changes nothing, so a diameter-D graph
+    needs D propagation rounds plus one no-op probe round: the loop runs
+    max_rounds + 1 times and only raises if the LAST round still changed
+    labels (usable diameter = max_rounds exactly)."""
     edges = (pairs.unionByName(
         pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id")))
         .withColumnRenamed("a_id", "src").withColumnRenamed("b_id", "dst")
         .persist())
-    labels = (edges.select(F.col("src").alias("node")).distinct()
-              .withColumn("label", F.col("node"))
-              .localCheckpoint())
-    for _ in range(max_rounds):
-        prop = (edges.join(labels, edges.src == labels.node)
-                .select(F.col("dst").alias("node"), "label"))
-        new_labels = (labels.unionByName(prop)
-                      .groupBy("node").agg(F.min("label").alias("label"))
-                      .localCheckpoint())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.expr("n.label < o.label")).count())
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"label propagation did not converge in {max_rounds} rounds")
-    edges.unpersist()
-    return labels
+    try:
+        labels = (edges.select(F.col("src").alias("node")).distinct()
+                  .withColumn("label", F.col("node"))
+                  .localCheckpoint())
+        for _ in range(max_rounds + 1):
+            prop = (edges.join(labels, edges.src == labels.node)
+                    .select(F.col("dst").alias("node"), "label"))
+            new_labels = (labels.unionByName(prop)
+                          .groupBy("node").agg(F.min("label").alias("label"))
+                          .localCheckpoint())
+            changed = (new_labels.alias("n")
+                       .join(labels.alias("o"), "node")
+                       .filter(F.expr("n.label < o.label")).count())
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"label propagation did not converge in {max_rounds} rounds")
+        return labels
+    finally:
+        edges.unpersist()
 
 
 @register(

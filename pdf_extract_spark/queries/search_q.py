@@ -429,14 +429,16 @@ def lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
               .filter(F.col("variant") == "keywords")
               .select("qid", F.explode(
                   F.array_distinct(F.split("vtext", " "))).alias("term")))
-    n = docs.count()
+    # N stays in-plan (1-row aggregate, broadcast) — no eager count job
+    # at query-construction time
+    n_docs = docs.agg(F.count("*").alias("n"))
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     posts = (words.join(F.broadcast(qterms.select("term").distinct()),
                         words.w == F.col("term"))
              .groupBy("doc_id", "term").agg(F.count("*").alias("tf")))
-    df_t = posts.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df"))
-    idf = F.expr(f"CAST(floor(CAST(1000000 AS DOUBLE) * {n} / df) AS BIGINT)")
+    df_t = (posts.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+            .crossJoin(F.broadcast(n_docs)))
+    idf = F.expr("CAST(floor(CAST(1000000 AS DOUBLE) * n / df) AS BIGINT)")
     scored = (qterms.join(posts, "term")
               .join(F.broadcast(df_t.select("term", idf.alias("idf"))), "term")
               .groupBy("qid", "doc_id")

@@ -32,6 +32,10 @@ SMOKE = [
     "media_meta",
     "media_frames",
     "lang_id_sql",
+    "dedup_clusters",
+    "media_features",
+    "lexical_topk",
+    "doc_repetition",
 ]
 
 
