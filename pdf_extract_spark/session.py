@@ -38,6 +38,12 @@ def get_spark(master: str | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
+        # free Arrow IPC buffers during the pandas conversion instead of
+        # holding both copies: ~8% on the decode phase (6.55s vs 7.11s on
+        # the 300k-page A/B) and lower worker peak memory. Arrow IPC
+        # compression (zstd/lz4) measured a wash on these payloads.
+        .config("spark.sql.execution.arrow.pyspark.selfDestruct.enabled",
+                "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
