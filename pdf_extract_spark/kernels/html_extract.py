@@ -129,7 +129,13 @@ _TOKEN_RE = re.compile(
     r"|<!\[CDATA\[.*?\]\]>"
     r"|<![^>]*>"
     r"|<\?[^>]*>"
-    r"|<(/?)([a-zA-Z][a-zA-Z0-9-]*)([^>]*?)\s*>",
+    r"|<(/?)([a-zA-Z][a-zA-Z0-9-]*)([^>]*?)\s*>"
+    # html.parser's endtagfind allows whitespace between '</' and the name
+    # (only whitespace may follow the name): '</ x>' closes x
+    r"|</\s*([a-zA-Z][a-zA-Z0-9-]*)\s*>"
+    # any other '</...>' is parse_bogus_comment: consumed, emits nothing
+    # ('</>', '</ >', '</3>', '</ x junk>')
+    r"|(</[^>]*>)",
     re.DOTALL,
 )
 
@@ -210,10 +216,15 @@ def _collect_blocks(html: str) -> list[tuple[str, int, int, str]]:
                     linked += len("".join(data.split()))
             pos = k
             continue
-        closing, name = m.group(2), m.group(3)
-        if name is None:  # comment / doctype / PI
-            continue
-        selfclose = _is_selfclose(m.group(4) or "")
+        if m.group(6) is not None:
+            continue  # bogus end tag → parse_bogus_comment: no data, no tag
+        if m.group(5) is not None:
+            closing, name, selfclose = "/", m.group(5), False
+        else:
+            closing, name = m.group(2), m.group(3)
+            if name is None:  # comment / doctype / PI
+                continue
+            selfclose = _is_selfclose(m.group(4) or "")
         tag = name.lower()
         if selfclose and not closing:
             # XHTML self-closing: the reference collector's
