@@ -34,8 +34,7 @@ def main() -> None:
     try:
         ok = extracted_ok(spark, args.input)
         t0 = time.monotonic()
-        stats = run_analysis(spark, ok.select("url", "lang", "text"),
-                             args.output)
+        stats = run_analysis(spark, ok, args.output)
         stats["wall_s"] = round(time.monotonic() - t0, 3)
         print(json.dumps(stats))
     finally:

@@ -115,26 +115,35 @@ _HEADINGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 # single-regex tokenizer implements the same block semantics 5-10× faster;
 # `_collect_blocks_reference` (HTMLParser-based) stays as the semantics
 # cross-check, asserted equal over the whole fixture corpus in pytest.
-# Spec note (documented divergence from html.parser, acceptable for this
-# kernel's spec): a literal '>' inside a quoted attribute value terminates
-# the tag early.
+# Spec notes (documented divergences from html.parser, acceptable for this
+# kernel's spec): (1) a literal '>' inside a quoted attribute value
+# terminates the tag early; (2) a NUL byte inside a tag is out of domain —
+# html.parser splits the tag into irregular data pieces at the NUL, while
+# WHATWG treats NULs as parse errors to replace; decode_html_bytes strips
+# them BEFORE tokenizing, so both collectors see NUL-free input and the
+# divergence is unreachable through the pipeline.
 
 # A tag opens only when '<' (or '</') is immediately followed by a letter —
 # matching html.parser, which leaves '3 < y' prose as text. An unterminated
 # '<!--' (no '-->') matches to end-of-input and is re-emitted as text data,
 # again matching html.parser's end-of-feed behavior.
+# Tag-name grammars copied from html.parser exactly: START names are
+# tagfind_tolerant's ([a-zA-Z][^\t\n\r\f />\x00]*) — '<p.x>' is ONE tag
+# named 'p.x', not 'p' with junk; END names are endtagfind's narrower
+# ([a-zA-Z][-.a-zA-Z0-9:_]*) with optional whitespace on either side, OR
+# (when followed by junk before '>') the tolerant start-name grammar with
+# the junk consumed and ignored ('</p attr>' closes p). Any other
+# '</...>' is parse_bogus_comment: consumed, emits nothing ('</>',
+# '</ >', '</3>', '</ x junk>').
 _TOKEN_RE = re.compile(
     r"<!--.*?-->"
     r"|(<!--.*)"
     r"|<!\[CDATA\[.*?\]\]>"
     r"|<![^>]*>"
     r"|<\?[^>]*>"
-    r"|<(/?)([a-zA-Z][a-zA-Z0-9-]*)([^>]*?)\s*>"
-    # html.parser's endtagfind allows whitespace between '</' and the name
-    # (only whitespace may follow the name): '</ x>' closes x
-    r"|</\s*([a-zA-Z][a-zA-Z0-9-]*)\s*>"
-    # any other '</...>' is parse_bogus_comment: consumed, emits nothing
-    # ('</>', '</ >', '</3>', '</ x junk>')
+    r"|<([a-zA-Z][^\t\n\r\f />\x00]*)([^>]*?)\s*>"
+    r"|</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>"
+    r"|</([a-zA-Z][^\t\n\r\f />\x00]*)[^>]*>"
     r"|(</[^>]*>)",
     re.DOTALL,
 )
@@ -218,13 +227,13 @@ def _collect_blocks(html: str) -> list[tuple[str, int, int, str]]:
             continue
         if m.group(6) is not None:
             continue  # bogus end tag → parse_bogus_comment: no data, no tag
-        if m.group(5) is not None:
-            closing, name, selfclose = "/", m.group(5), False
-        else:
-            closing, name = m.group(2), m.group(3)
-            if name is None:  # comment / doctype / PI
-                continue
-            selfclose = _is_selfclose(m.group(4) or "")
+        if m.group(4) is not None or m.group(5) is not None:
+            closing, name, selfclose = "/", m.group(4) or m.group(5), False
+        elif m.group(2) is not None:
+            closing, name = "", m.group(2)
+            selfclose = _is_selfclose(m.group(3) or "")
+        else:  # comment / doctype / PI
+            continue
         tag = name.lower()
         if selfclose and not closing:
             # XHTML self-closing: the reference collector's
@@ -327,6 +336,11 @@ def decode_html_bytes(payload: bytes) -> tuple[str | None, str | None]:
         html = payload.decode("utf-8")
     except UnicodeDecodeError:
         return None, "invalid_utf8"
+    if "\x00" in html:
+        # WHATWG: NULs in markup are parse errors (replaced); html.parser
+        # handles them irregularly mid-tag — normalize them away so both
+        # the fast tokenizer and the reference collector see the same doc
+        html = html.replace("\x00", "")
     text = extract_main_text(html)
     if not text:
         return None, "no_main_content"

@@ -22,7 +22,12 @@ _FRAGMENTS = st.sampled_from([
     "<iframe>", "</iframe>", "<span>", "</span>", "<P>", "</P>",
     "<p  class=x>", "<p/>", "= 1; if (a<b) x();", "<table>", "</table>",
     "<li>", "</li>", "<h1>", "</h1>", "<!doctype html>", "<?pi ?>",
+    "<p.x>", "</p.x>", "<a_b>", "</a_b>", "</a_b junk>", "<ns:tag>",
+    "</ns:tag>", "</p attr>", "</ x junk>", "</3>",
 ])
+# NUL-in-tag is excluded from the collector-level domain: html.parser
+# splits tags irregularly at NULs while decode_html_bytes strips them
+# before tokenizing (documented divergence in html_extract.py)
 
 
 @given(st.lists(_FRAGMENTS, min_size=0, max_size=40).map("".join))
@@ -39,16 +44,20 @@ def test_fast_tokenizer_matches_reference_on_tag_soup(html):
 @given(st.lists(_FRAGMENTS, min_size=0, max_size=30).map("".join))
 @settings(max_examples=150, derandomize=True, deadline=None)
 def test_full_html_extract_matches_reference_text(html):
-    """End-to-end text determinism (boilerplate scoring + assembly
-    downstream of the collectors) on the same soup, via the decode
-    entry point the pipeline uses."""
-    from pdf_extract_spark.kernels.html_extract import decode_html_bytes
+    """GENUINE end-to-end parity: run the full extraction once with the
+    fast tokenizer and once with the HTMLParser reference collector
+    swapped in underneath — extracted text must be byte-identical."""
+    from pdf_extract_spark.kernels import html_extract as H
 
-    doc = f"<html><body>{html}</body></html>".encode()
-    t1, e1 = decode_html_bytes(doc)
-    t2, e2 = decode_html_bytes(doc)  # determinism under repetition
-    assert (t1, e1) == (t2, e2)
-    assert (t1 is None) != (e1 is None)
+    doc = f"<html><body>{html}</body></html>"
+    fast = H.extract_main_text(doc)
+    orig = H._collect_blocks
+    H._collect_blocks = H._collect_blocks_reference
+    try:
+        ref = H.extract_main_text(doc)
+    finally:
+        H._collect_blocks = orig
+    assert fast == ref, repr(html)
 
 
 _PDF_CHUNKS = st.sampled_from([
@@ -56,7 +65,7 @@ _PDF_CHUNKS = st.sampled_from([
     b"(text) Tj\n", b"1 0 0 1 72 720 Tm\n", b"/F1 12 Tf\n", b"TD\n",
     b"[(a) (b)] TJ\n", b"<< /Length 99 >>\n", b"obj\n", b"endobj\n",
     b"\x00\xff\xfe", b"(unclosed", b")", b"99999 0 R\n", b"xref\n",
-    b"(\\041\\x)", b"[(]", b"1 1 Td\n",
+    b"(\\041\\x)", b"[(]", b"1 1 Td\n", b"%%EOF\n",
 ])
 
 
@@ -69,7 +78,8 @@ def test_pdf_parser_never_crashes_on_corrupt_streams(payload):
 
     body = b"%PDF-" + payload if not payload.startswith(b"%PDF-") else payload
     text, err = decode_payload(body)
-    assert (text is None) != (err is None) or text is not None
+    # quarantine contract: exactly one of (text, error) is set
+    assert (text is None) != (err is None), (text, err)
     # determinism
     assert decode_payload(body) == (text, err)
 
@@ -83,7 +93,7 @@ def test_pdf_parser_never_crashes_on_corrupt_streams(payload):
 @settings(max_examples=100, derandomize=True, deadline=None)
 def test_kernel_invariants_under_fuzz(text, size, overlap):
     """Chunk-size bound + determinism for every pure kernel on arbitrary
-    unicode (the property round deepened to 800 examples in review)."""
+    unicode (deep local hunts ran 800 examples; CI keeps 100)."""
     from pdf_extract_spark.kernels.chunker import split_text
     from pdf_extract_spark.kernels.embed import embed_text
     from pdf_extract_spark.kernels.ner import extract_entities
