@@ -143,10 +143,12 @@ def make_payload(i: int) -> tuple[bytes, str]:
 _EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
 
 
-def make_rows(n: int, start: int = 0) -> list[tuple]:
-    """Rows (url, warc_ts, html, text, lang) for indices [start, start+n)."""
+def make_rows_at(ids) -> list[tuple]:
+    """Rows (url, warc_ts, html, text, lang) for an arbitrary iterable of
+    row indices (the synthpages connector's filter pushdown generates
+    non-contiguous index sets)."""
     rows = []
-    for i in range(start, start + n):
+    for i in ids:
         payload, lang = make_payload(i)
         rows.append((
             f"https://src{i % 20}.example.com/doc/{i:08d}",
@@ -156,6 +158,11 @@ def make_rows(n: int, start: int = 0) -> list[tuple]:
             lang,
         ))
     return rows
+
+
+def make_rows(n: int, start: int = 0) -> list[tuple]:
+    """Rows for the contiguous index range [start, start+n)."""
+    return make_rows_at(range(start, start + n))
 
 
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"

@@ -44,6 +44,9 @@ def get_spark(master: str | None = None,
         # compression (zstd/lz4) measured a wash on these payloads.
         .config("spark.sql.execution.arrow.pyspark.selfDestruct.enabled",
                 "true")
+        # let Python Data Source connectors receive pushed filters
+        # (sources/synth_pages.py prunes rows before payload synthesis)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -175,3 +175,35 @@ def test_synthpages_data_source(spark):
     b = pages_df(spark, 700, partitions=3).selectExpr(digest)
     assert a.count() == 700
     assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+
+
+def test_synthpages_pushdown_optin_and_default_safety(spark):
+    """Default connector path never claims filters (a reused DataFrame
+    stays exact for filterless queries); the opt-in langPushdown path
+    prunes generation and matches ground truth per freshly-loaded plan."""
+    import pyspark.sql.functions as F
+
+    from pdf_extract_spark.fixtures.pages import pages_df
+    from pdf_extract_spark.sources.synth_pages import register
+
+    register(spark)
+    # default: same df reused across filtered + filterless queries
+    df = (spark.read.format("synthpages")
+          .option("n", 600).option("numPartitions", 3).load())
+    nz = df.filter(F.col("lang") == "zh").count()
+    assert df.count() == 600  # reuse stays exact without pushdown
+    truth = pages_df(spark, 600, partitions=3)
+    assert nz == truth.filter(F.col("lang") == "zh").count()
+
+    # opt-in: one load() per query (documented contract), rows identical
+    def loaded():
+        return (spark.read.format("synthpages")
+                .option("n", 600).option("numPartitions", 3)
+                .option("langPushdown", "true").load())
+    got = {r["url"] for r in loaded().filter(F.col("lang") == "zh")
+           .select("url").collect()}
+    want = {r["url"] for r in truth.filter(F.col("lang") == "zh")
+            .select("url").collect()}
+    assert got == want
+    both = loaded().filter(F.col("lang").isin("fr", "de")).count()
+    assert both == truth.filter(F.col("lang").isin("fr", "de")).count()
