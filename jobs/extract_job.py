@@ -20,7 +20,8 @@ import time
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True,
-                    help="pages parquet path, or synth:N for fixture pages")
+                    help="pages parquet path, synth:N for fixture pages, "
+                         "or warc:<glob> for WARC archives")
     ap.add_argument("--output", required=True)
     ap.add_argument("--run-id", default="run1")
     ap.add_argument("--partitions", type=int, default=32)
@@ -36,6 +37,9 @@ def main() -> None:
             from pdf_extract_spark.sources.synth_pages import synth_pages
             n = int(args.input.split(":", 1)[1])
             pages = synth_pages(spark, n, partitions=args.partitions)
+        elif args.input.startswith("warc:"):
+            from pdf_extract_spark.sources.warc import read_warc
+            pages = read_warc(spark, args.input.split(":", 1)[1])
         else:
             pages = spark.read.parquet(args.input)
 

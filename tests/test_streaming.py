@@ -207,3 +207,44 @@ def test_synthpages_pushdown_optin_and_default_safety(spark):
     assert got == want
     both = loaded().filter(F.col("lang").isin("fr", "de")).count()
     assert both == truth.filter(F.col("lang").isin("fr", "de")).count()
+
+
+def test_warc_source_end_to_end_golden(spark, tmp_path_factory):
+    """WARC archives (Common Crawl format, per-record gzip members) read
+    through the `warc` Data Source must feed the extraction pipeline to
+    the SAME per-url SHA-256 as the single-node kernel on the same rows
+    — the crawl-archive ingest path inherits the golden contract."""
+    import hashlib
+    import os
+
+    from pdf_extract_spark.fixtures.warc import write_warc
+    from pdf_extract_spark.kernels.decode import decode_payload
+    from pdf_extract_spark.plans.pipeline import run_extraction
+    from pdf_extract_spark.sources.warc import read_warc
+
+    base = str(tmp_path_factory.mktemp("warc"))
+    # 3 archives: 2 gzipped (CC convention) + 1 plain, disjoint row ranges
+    write_warc(os.path.join(base, "seg-00.warc.gz"), 70, start=0)
+    write_warc(os.path.join(base, "seg-01.warc.gz"), 70, start=70)
+    write_warc(os.path.join(base, "seg-02.warc"), 60, start=140)
+
+    pages = read_warc(spark, os.path.join(base, "seg-*.warc*"))
+    assert pages.count() == 200
+    assert pages.rdd.getNumPartitions() == 3  # one per archive file
+
+    out = os.path.join(base, "out")
+    stats = run_extraction(spark, pages, out, run_id="w1", num_partitions=4)
+    assert stats["n_in"] == 200
+
+    got = {r["url"]: r["text_sha256"] for r in
+           spark.read.parquet(f"{out}/extracted")
+           .filter("status = 'ok'").select("url", "text_sha256").collect()}
+    from pdf_extract_spark.fixtures.pages import make_rows
+    n_ok = 0
+    for url, ts, payload, _t, _l in make_rows(200):
+        text, err = decode_payload(payload)
+        if err is None:
+            n_ok += 1
+            want = hashlib.sha256(text.encode()).hexdigest()
+            assert got.get(url) == want, url
+    assert n_ok == len(got) > 0
