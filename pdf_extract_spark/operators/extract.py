@@ -51,10 +51,11 @@ def salted_repartition(df: DataFrame, num_partitions: int,
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     # import inside the task so --py-files shipping works without driver state
     from pdf_extract_spark.kernels.decode import decode_payload, text_sha256
+    from pdf_extract_spark.kernels.textstats import detect_language
 
     for pdf in batches:
-        texts, shas, errors, sizes = [], [], [], []
-        for payload in pdf["html"]:
+        texts, shas, errors, sizes, langs = [], [], [], [], []
+        for payload, in_lang in zip(pdf["html"], pdf["lang"]):
             # Arrow hands binary columns over as bytes already — avoid a
             # per-row copy of the (potentially large) payload
             if payload is None:
@@ -68,10 +69,16 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             shas.append(text_sha256(text) if text is not None else None)
             errors.append(err)
             sizes.append(len(raw))
+            # crawl archives (WARC source) carry no lang label — detect it
+            # from the extracted text; labeled inputs pass through verbatim
+            if in_lang is None and text:
+                langs.append(detect_language(text))
+            else:
+                langs.append(in_lang)
         yield pd.DataFrame({
             "url": pdf["url"],
             "warc_ts": pdf["warc_ts"],
-            "lang": pdf["lang"],
+            "lang": langs,
             "text": texts,
             "text_sha256": shas,
             "n_bytes": sizes,

@@ -42,41 +42,15 @@ class _Range(InputPartition):
 
 
 class SynthPagesReader(DataSourceReader):
+    """Default reader: deliberately does NOT override pushFilters — the
+    PySpark worker hard-fails ANY reader that overrides it when
+    spark.sql.python.filterPushdown.enabled is false, so the override
+    lives only on the opt-in subclass below."""
+
     def __init__(self, options):
         self.n = int(options.get("n", 1000))
         self.num_partitions = int(options.get("numPartitions", 8))
-        self.pushdown = options.get("langPushdown", "false") == "true"
         self.langs: set[str] | None = None  # pushed lang filter, if any
-
-    def pushFilters(self, filters):
-        """Accept lang equality / IN filters when OPTED IN
-        (.option("langPushdown", "true")): lang is a cheap pure function
-        of the row index, so matching rows are decided BEFORE the
-        (expensive) payload synthesis — the same reason a database
-        connector pushes predicates below the scan.
-
-        Opt-in because Spark 4.1 caches the planned Python scan on the
-        shared DataSourceV2Relation node: a SECOND, differently-filtered
-        query over the SAME loaded DataFrame reuses the first plan's
-        baked-in pruning (verified empirically — df.count() after
-        df.filter(lang='zh').count() returned the zh count). With
-        pushdown enabled, load() once per query. The default path never
-        claims filters and is always exact."""
-        self.langs = None
-        if not self.pushdown:
-            return filters
-        remaining = []
-        for f in filters:
-            if isinstance(f, EqualTo) and f.attribute == ("lang",):
-                self.langs = {f.value} if self.langs is None \
-                    else self.langs & {f.value}
-            elif isinstance(f, In) and f.attribute == ("lang",):
-                vals = set(f.value)
-                self.langs = vals if self.langs is None \
-                    else self.langs & vals
-            else:
-                remaining.append(f)
-        return remaining
 
     def partitions(self):
         span = (self.n + self.num_partitions - 1) // self.num_partitions
@@ -92,8 +66,8 @@ class SynthPagesReader(DataSourceReader):
 
         idxs = range(partition.start, partition.end)
         if self.langs is not None:
+            # materialize ONCE, only in the filtered case
             idxs = [i for i in idxs if _lang_for(i) in self.langs]
-        idxs = list(idxs)
         for a in range(0, len(idxs), ROWS_PER_BATCH):
             rows = make_rows_at(idxs[a:a + ROWS_PER_BATCH])
             urls, tss, htmls, texts, langs = zip(*rows)
@@ -107,6 +81,38 @@ class SynthPagesReader(DataSourceReader):
             )
 
 
+class PushdownSynthPagesReader(SynthPagesReader):
+    """Opt-in variant (.option("langPushdown", "true")): accepts lang
+    EqualTo/In filters — lang is a cheap pure function of the row index,
+    so matching rows are decided BEFORE the (expensive) payload
+    synthesis, the same reason a database connector pushes predicates
+    below the scan.
+
+    OPT-IN CONTRACT — load() once per query: Spark 4.1 caches the
+    planned Python scan on the shared DataSourceV2Relation node, so a
+    second, differently-filtered query over the SAME loaded DataFrame
+    reuses the first plan's baked-in pruning (verified empirically).
+    Claimed filters are ALSO returned as remaining, so Spark re-applies
+    them post-scan: a pushed query can never return extra rows even if
+    state goes stale; only DataFrame reuse against the documented
+    contract can under-produce. Requires
+    spark.sql.python.filterPushdown.enabled=true (session.py sets it)."""
+
+    def pushFilters(self, filters):
+        self.langs = None
+        out = []
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("lang",):
+                self.langs = {f.value} if self.langs is None \
+                    else self.langs & {f.value}
+            elif isinstance(f, In) and f.attribute == ("lang",):
+                vals = set(f.value)
+                self.langs = vals if self.langs is None \
+                    else self.langs & vals
+            out.append(f)  # defense in depth: Spark re-filters post-scan
+        return out
+
+
 class SynthPagesDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -116,6 +122,8 @@ class SynthPagesDataSource(DataSource):
         return PAGES_DDL
 
     def reader(self, schema) -> SynthPagesReader:
+        if self.options.get("langPushdown", "false") == "true":
+            return PushdownSynthPagesReader(self.options)
         return SynthPagesReader(self.options)
 
 

@@ -6,7 +6,14 @@ One InputPartition per file: .warc.gz members are not block-splittable
 not seekable), so file granularity is the natural parallel unit — a
 crawl segment ships thousands of ~1 GB files, which parallelizes a
 cluster fine. Records stream through a bounded parser (never the whole
-file in memory) and exit as Arrow RecordBatches.
+file in memory; per-record payloads are capped at MAX_RECORD_BYTES and
+oversized/invalid-length records are skipped by streaming-discard) and
+exit as Arrow RecordBatches.
+
+PATHS ARE LOCAL-FILESYSTEM (glob + open on the executors): this sandbox
+has no Hadoop FS/fsspec bridge for Python data sources. On a real
+cluster, mount the archive store (fuse/NFS) or swap the two-line
+listing/open for fsspec — partitioning and parsing are unchanged.
 
 Only `response` records with an HTTP payload become rows; the HTTP header
 block is stripped (the engine decodes raw html bytes). `text`/`lang` are
@@ -22,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 ROWS_PER_BATCH = 512
+MAX_RECORD_BYTES = 64 * 1024 * 1024  # cap per-record payload buffering
 
 
 class _WarcFile(InputPartition):
@@ -31,16 +39,24 @@ class _WarcFile(InputPartition):
 
 def _iter_records(stream):
     """Yield (headers: dict, payload: bytes) per WARC record from a
-    binary stream; tolerant of trailing junk and truncated tails."""
+    binary stream; tolerant of trailing junk and truncated tails.
+    Records without a valid Content-Length, or claiming more than
+    MAX_RECORD_BYTES, are SKIPPED: the claimed length of a corrupt or
+    hostile record is NOT trusted — the scanner resynchronizes on the
+    next 'WARC/' header line instead of buffering or seeking by it.
+    All line reads are size-bounded so a newline-free file cannot make
+    readline buffer unboundedly."""
+    pending = None
     while True:
-        line = stream.readline()
+        line = pending if pending is not None else stream.readline(1 << 20)
+        pending = None
         if not line:
             return
         if not line.startswith(b"WARC/"):
             continue  # skip inter-record padding / junk
         headers = {}
         while True:
-            h = stream.readline()
+            h = stream.readline(1 << 20)
             if not h or h in (b"\r\n", b"\n"):
                 break
             if b":" in h:
@@ -48,22 +64,63 @@ def _iter_records(stream):
                 headers[k.strip().lower().decode("ascii", "replace")] = \
                     v.strip().decode("utf-8", "replace")
         try:
-            length = int(headers.get("content-length", "0"))
-        except ValueError:
-            length = 0
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            length = -1
+        if not 0 <= length <= MAX_RECORD_BYTES:
+            # invalid or hostile length: scan forward to the next record
+            # header marker (which may sit mid-line after junk bytes),
+            # then re-enter the loop with it
+            while True:
+                l2 = stream.readline(1 << 20)
+                if not l2:
+                    return
+                at = l2.find(b"WARC/")
+                if at != -1:
+                    pending = l2[at:]
+                    break
+            continue
         payload = stream.read(length)
         if len(payload) < length:
             return  # truncated tail: drop the torn record
         yield headers, payload
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode Transfer-Encoding: chunked framing (hex-size lines between
+    chunks); returns what was decodable, tolerant of truncation."""
+    out = []
+    pos = 0
+    while True:
+        nl = body.find(b"\r\n", pos)
+        if nl == -1:
+            break
+        size_tok = body[pos:nl].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            break
+        if size == 0:
+            break
+        start = nl + 2
+        out.append(body[start:start + size])
+        pos = start + size + 2  # skip chunk + trailing CRLF
+    return b"".join(out)
+
+
 def _http_body(payload: bytes) -> bytes:
     """Strip the HTTP response header block from an application/http
-    payload; non-HTTP payloads pass through unchanged."""
+    payload (de-chunking Transfer-Encoding: chunked bodies — Common
+    Crawl preserves the raw HTTP message); non-HTTP payloads pass
+    through unchanged."""
     if payload[:5] in (b"HTTP/",):
         sep = payload.find(b"\r\n\r\n")
         if sep != -1:
-            return payload[sep + 4:]
+            head = payload[:sep].lower()
+            body = payload[sep + 4:]
+            if b"transfer-encoding:" in head and b"chunked" in head:
+                return _dechunk(body)
+            return body
     return payload
 
 
@@ -111,7 +168,13 @@ class WarcReader(DataSourceReader):
                 ts = None
                 raw = headers.get("warc-date", "")
                 try:
-                    ts = dt.datetime.strptime(raw, "%Y-%m-%dT%H:%M:%SZ")
+                    # WARC/1.0 second precision and WARC/1.1 fractional
+                    # seconds both parse; tz-aware UTC so session timezone
+                    # never shifts the value
+                    ts = dt.datetime.fromisoformat(
+                        raw.replace("Z", "+00:00"))
+                    if ts.tzinfo is None:
+                        ts = ts.replace(tzinfo=dt.timezone.utc)
                 except ValueError:
                     pass
                 rows.append((url, ts, _http_body(payload)))

@@ -248,3 +248,61 @@ def test_warc_source_end_to_end_golden(spark, tmp_path_factory):
             want = hashlib.sha256(text.encode()).hexdigest()
             assert got.get(url) == want, url
     assert n_ok == len(got) > 0
+
+
+def test_warc_hardening_chunked_oversized_langdetect(spark, tmp_path_factory):
+    """Chunked transfer-encoding bodies are de-chunked, records with
+    invalid/oversized Content-Length are skipped without buffering,
+    WARC/1.1 fractional dates parse as UTC, and extraction detects lang
+    for label-less crawl rows."""
+    import os
+
+    from pdf_extract_spark.operators.extract import extract_text
+    from pdf_extract_spark.sources.warc import read_warc
+
+    base = str(tmp_path_factory.mktemp("warc_hard"))
+    body = (b"<html><body><p>chunked body paragraph with plenty of real "
+            b"words to keep the extractor busy here today</p></body></html>")
+    half = len(body) // 2
+    chunked = (f"{half:x}".encode() + b"\r\n" + body[:half] + b"\r\n"
+               + f"{len(body) - half:x}".encode() + b"\r\n" + body[half:]
+               + b"\r\n0\r\n\r\n")
+    http_chunked = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    b"Transfer-Encoding: chunked\r\n\r\n" + chunked)
+
+    def rec(url, date, http):
+        return (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Target-URI: " + url + b"\r\n"
+                b"WARC-Date: " + date + b"\r\n"
+                b"Content-Length: " + str(len(http)).encode() + b"\r\n"
+                b"\r\n" + http + b"\r\n\r\n")
+
+    bogus_len = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                 b"WARC-Target-URI: https://x.example/bad\r\n"
+                 b"Content-Length: notanumber\r\n\r\n")
+    huge_len = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Target-URI: https://x.example/huge\r\n"
+                b"Content-Length: 999999999999\r\n\r\n" + b"x" * 100)
+    plain_http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                  + body)
+    with open(os.path.join(base, "h.warc"), "wb") as f:
+        f.write(rec(b"https://x.example/chunked",
+                    b"2017-10-17T02:33:52.123456Z", http_chunked))
+        f.write(bogus_len)
+        f.write(huge_len)
+        f.write(rec(b"https://x.example/plain",
+                    b"2024-01-01T00:00:00Z", plain_http))
+
+    df = read_warc(spark, os.path.join(base, "h.warc"))
+    rows = {r["url"]: r for r in df.collect()}
+    # bogus/huge records skipped; plain record after them still parsed
+    assert set(rows) == {"https://x.example/chunked",
+                         "https://x.example/plain"}
+    assert bytes(rows["https://x.example/chunked"]["html"]) == body
+    assert rows["https://x.example/chunked"]["warc_ts"].microsecond == 123456
+    assert bytes(rows["https://x.example/plain"]["html"]) == body
+
+    # lang detection for label-less crawl rows in the extract operator
+    ext = {r["url"]: r for r in extract_text(df).collect()}
+    assert ext["https://x.example/chunked"]["error"] is None
+    assert ext["https://x.example/chunked"]["lang"] == "en"
