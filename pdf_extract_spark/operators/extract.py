@@ -70,9 +70,12 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             errors.append(err)
             sizes.append(len(raw))
             # crawl archives (WARC source) carry no lang label — detect it
-            # from the extracted text; labeled inputs pass through verbatim
+            # from a bounded prefix of the extracted text (the heuristic
+            # saturates long before 4 KB; a full-document scan would
+            # dominate decode cost on large docs); labeled inputs pass
+            # through verbatim
             if in_lang is None and text:
-                langs.append(detect_language(text))
+                langs.append(detect_language(text[:4096]))
             else:
                 langs.append(in_lang)
         yield pd.DataFrame({

@@ -69,16 +69,21 @@ def _iter_records(stream):
             length = -1
         if not 0 <= length <= MAX_RECORD_BYTES:
             # invalid or hostile length: scan forward to the next record
-            # header marker (which may sit mid-line after junk bytes),
-            # then re-enter the loop with it
+            # header marker (which may sit mid-line after junk bytes, or
+            # split across size-capped reads — carry a 4-byte tail so a
+            # marker straddling two chunks is still found), then re-enter
+            # the loop with it
+            tail = b""
             while True:
                 l2 = stream.readline(1 << 20)
                 if not l2:
                     return
-                at = l2.find(b"WARC/")
+                probe = tail + l2
+                at = probe.find(b"WARC/")
                 if at != -1:
-                    pending = l2[at:]
+                    pending = probe[at:]
                     break
+                tail = l2[-4:]
             continue
         payload = stream.read(length)
         if len(payload) < length:
@@ -113,12 +118,18 @@ def _http_body(payload: bytes) -> bytes:
     payload (de-chunking Transfer-Encoding: chunked bodies — Common
     Crawl preserves the raw HTTP message); non-HTTP payloads pass
     through unchanged."""
+    import re
+
     if payload[:5] in (b"HTTP/",):
         sep = payload.find(b"\r\n\r\n")
         if sep != -1:
             head = payload[:sep].lower()
             body = payload[sep + 4:]
-            if b"transfer-encoding:" in head and b"chunked" in head:
+            # parse the Transfer-Encoding header's OWN value: two loose
+            # substring hits could false-positive on unrelated headers
+            # and _dechunk would wipe a non-chunked body to empty
+            te = re.search(rb"^transfer-encoding:([^\r\n]*)", head, re.M)
+            if te and b"chunked" in te.group(1):
                 return _dechunk(body)
             return body
     return payload
@@ -175,6 +186,10 @@ class WarcReader(DataSourceReader):
                         raw.replace("Z", "+00:00"))
                     if ts.tzinfo is None:
                         ts = ts.replace(tzinfo=dt.timezone.utc)
+                    # Arrow's tz-naive timestamp stores the WALL CLOCK and
+                    # drops the offset — convert to UTC first so the wall
+                    # clock IS the UTC instant for any input offset
+                    ts = ts.astimezone(dt.timezone.utc)
                 except ValueError:
                     pass
                 rows.append((url, ts, _http_body(payload)))
