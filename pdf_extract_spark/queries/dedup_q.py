@@ -34,6 +34,12 @@ N_BANDS = 4  # 2 rows per band
 # an artifact of boilerplate): standard practice is to discard them rather
 # than emit O(bucket²) candidate pairs.
 MAX_BUCKET = 64
+# Posting-list cap for the inverted-index (shingle) self-join: a shingle
+# appearing in > MAX_POSTING documents is boilerplate — joining on it emits
+# O(df²) pairs on one key. Drop it from the index (the Jaccard denominator
+# keeps the FULL set sizes, so capped scores only ever underestimate —
+# safe for dedup, where a missed borderline pair beats a quadratic key).
+MAX_POSTING = 64
 
 # --- augmented corpus (planted near-dups), shared Spark + DuckDB ----------
 
@@ -223,10 +229,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM aug) s),
     sig AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
     ex AS (SELECT doc_id, unnest(shingles) AS s FROM sig),
+    rare AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= {MAX_POSTING}),
+    exr AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare USING (s)),
     sizes AS (SELECT doc_id, len(shingles) AS n FROM sig),
     common AS (
       SELECT ea.doc_id AS a_id, eb.doc_id AS b_id, COUNT(*) AS n_common
-      FROM ex ea JOIN ex eb ON ea.s = eb.s AND ea.doc_id < eb.doc_id
+      FROM exr ea JOIN exr eb ON ea.s = eb.s AND ea.doc_id < eb.doc_id
       GROUP BY ea.doc_id, eb.doc_id)
     SELECT a_id, b_id,
            CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
@@ -240,8 +248,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup via inverted-index join: candidate pairs are
     generated by the shingle equi-join itself (docs sharing ≥1 rare 4-gram),
     then scored |A∩B| / |A∪B|. 4-grams keep posting lists short so the
-    self-join stays near-linear — the no-minhash variant for corpora where
-    shingle frequency is low."""
+    self-join stays near-linear; boilerplate shingles with document
+    frequency > MAX_POSTING are dropped from the index BEFORE the self-join
+    (the one key class that would otherwise go quadratic at web scale —
+    same discipline as MAX_BUCKET in the minhash path). Set sizes keep the
+    full shingle count, so capping only lowers scores, never inflates."""
     aug = _aug_docs(spark, sf_dir)
     # word-count filter instead of size(shingles) > 0 — see dedup_minhash_lsh
     sig = (aug.withColumn("w", F.split("text", " "))
@@ -249,6 +260,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("doc_id", F.expr(_spark_shingles(4)).alias("shingles"))
            .persist())  # 3 downstream subtrees — see dedup_minhash_lsh
     ex = sig.select("doc_id", F.explode("shingles").alias("s"))
+    # document-frequency cap: one groupBy on s (map-side partial agg), then
+    # an equi-join back — the join re-uses the same hash partitioning on s
+    # that the self-join below needs, so the cap costs ~one extra pass
+    rare = (ex.groupBy("s").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= MAX_POSTING).select("s"))
+    ex = ex.join(rare, "s")
     sizes = sig.select("doc_id", F.size("shingles").cast("bigint").alias("n"))
     ea, eb = ex.alias("ea"), ex.alias("eb")
     common = (

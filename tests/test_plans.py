@@ -155,6 +155,45 @@ def test_simhash_hot_bucket_cap_binds(spark, tmp_path_factory):
         "hot boilerplate bucket must be dropped by the cap")
 
 
+def test_ngram_jaccard_posting_cap_binds(spark, tmp_path_factory):
+    """A boilerplate 4-gram shared by >MAX_POSTING docs must be dropped
+    from the inverted index BEFORE the shingle self-join (the quadratic-key
+    guard), while a small planted near-dup pair still scores >= 0.4."""
+    import os
+
+    from pdf_extract_spark.queries.dedup_q import MAX_POSTING, dedup_ngram_jaccard
+
+    d = str(tmp_path_factory.mktemp("ngram_hot"))
+    # every boilerplate doc is MOSTLY a shared footer (whose 4-grams all
+    # have df > MAX_POSTING) plus a tiny unique tail: without the cap any
+    # boilerplate pair scores ~0.7 >> 0.4 and the self-join emits O(n²)
+    # pairs on the hot keys; with the cap every shared shingle is dropped,
+    # n_common = 0, and no boilerplate pair can appear
+    footer = ("all rights reserved worldwide terms of service apply "
+              "privacy policy cookie notice contact us about careers "
+              "press sitemap help")
+    rows = []
+    for i in range(MAX_POSTING + 8):
+        t = f"{footer} unique tail {i} end {i * 7}"
+        rows.append((i, t, "en", "s", len(t)))
+    planted = "a genuinely distinct planted near duplicate sentence " * 4
+    rows += [(1000, planted, "en", "s", len(planted)),
+             (1001, planted + "extra", "en", "s", len(planted) + 5)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    pairs = dedup_ngram_jaccard(spark, d).collect()
+    ids = {(r["a_id"], r["b_id"]) for r in pairs}
+    assert (1000, 1001) in ids  # planted pair survives the cap
+    boiler_ids = set(range(MAX_POSTING + 8))
+    boiler_pairs = {(a, b) for a, b in ids
+                    if a in boiler_ids and b in boiler_ids}
+    assert not boiler_pairs, (
+        "hot shingle posting list must be dropped by the cap")
+
+
 def test_adaptive_topk_floor_binds(spark, tmp_path_factory):
     """Reference _adaptive_k_selection floor (tools.py:383-391): when fewer
     than max(k//2,2)=2 chunks meet the 60%-of-top cutoff, the slice falls
