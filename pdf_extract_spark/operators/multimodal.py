@@ -4,13 +4,22 @@ multimodal ops for a training-data pipeline; extends the reference's
 binary-payload handling, /root/reference/modules/tools.py:42, to non-text
 media).
 
-Real codec decode (PIL/ffmpeg/librosa) is NOT available in this sandbox —
-the decode step is STUBBED: payloads use a deterministic container format
-(`MMK1` header + metadata + seeded fake samples) synthesized by
-``make_media_payload``, and ``_decode_stub`` parses exactly that. The
-Spark-side plumbing is real and tested: schemas, Arrow batch shapes,
-size-salted partitioning, 1-row-in→N-rows-out frame explosion. Swapping
-``_decode_stub`` for a real codec changes no plan shape.
+Decode dispatches on magic bytes and parses FOUR real public formats in
+pure numpy from their published specs (no codec libraries in the sandbox):
+
+- BMP  (Windows bitmap, BITMAPINFOHEADER, uncompressed 24-bit BI_RGB)
+- PPM  (Netpbm P6 binary RGB, maxval <= 255)
+- WAV  (RIFF/WAVE, integer PCM, 8/16-bit)
+- Y4M  (YUV4MPEG2 uncompressed video — real per-frame boundaries)
+
+plus the legacy deterministic `MMK1` container (kept because the
+driver-gated media queries construct it arithmetically in SQL, and as the
+stand-in for compressed codecs the sandbox cannot ship). Compressed
+formats (PNG/JPEG/MP3/H.264) quarantine as `unknown_container` — the
+dispatch point a real deployment extends. Fixture writers for each real
+format live in fixtures/media.py (bounded-scope pattern of
+kernels/pdf_extract.py: the decoder handles the full public header
+grammar, tests feed it both our writers' output and corrupt variants).
 """
 
 from __future__ import annotations
@@ -48,14 +57,8 @@ def make_media_payload(media_id: str, kind: str, width: int = 0,
     return header + samples
 
 
-def _decode_stub(payload: bytes) -> tuple[dict | None, str | None]:
-    """STUB decode (stands in for PIL.Image.open / av.open / soundfile):
-    parses the deterministic MMK1 container. Unknown magic → quarantine,
-    mirroring the extract pipeline's error taxonomy."""
-    if payload is None or len(payload) < 21:
-        return None, "empty_or_short_payload"
-    if payload[:4] != _MAGIC:
-        return None, "unknown_container"  # real codecs would dispatch here
+def _decode_mmk1(payload: bytes) -> tuple[dict | None, str | None]:
+    """Legacy deterministic container (see module docstring)."""
     kind_b, width, height, rate, frames = struct.unpack("<BIIII", payload[4:21])
     kind = _KIND_NAMES.get(kind_b)
     if kind is None:
@@ -65,13 +68,200 @@ def _decode_stub(payload: bytes) -> tuple[dict | None, str | None]:
             "samples": np.frombuffer(payload[21:], dtype=np.uint8)}, None
 
 
+def _decode_bmp(p: bytes) -> tuple[dict | None, str | None]:
+    """Windows BMP, BITMAPINFOHEADER (>= 40-byte DIB), uncompressed
+    (BI_RGB) 24-bit. Samples = pixel bytes in top-down row order with the
+    4-byte row padding stripped, so features are layout-independent."""
+    if len(p) < 54:
+        return None, "truncated_bmp_header"
+    data_off, = struct.unpack_from("<I", p, 10)
+    dib_size, width, height = struct.unpack_from("<Iii", p, 14)
+    planes, bpp = struct.unpack_from("<HH", p, 26)
+    compression, = struct.unpack_from("<I", p, 30)
+    if dib_size < 40:
+        return None, "unsupported_bmp_dib"
+    if compression != 0:
+        return None, "unsupported_bmp_compression"
+    if bpp != 24:
+        return None, "unsupported_bmp_bpp"
+    h = abs(height)
+    if width <= 0 or h == 0:
+        return None, "bad_bmp_dims"
+    stride = (width * 3 + 3) & ~3
+    if data_off < 54 or len(p) < data_off + stride * h:
+        return None, "truncated_bmp_pixels"
+    px = np.frombuffer(p, np.uint8, stride * h, data_off).reshape(h, stride)
+    px = px[:, :width * 3]
+    if height > 0:  # positive height = bottom-up storage; emit top-down
+        px = px[::-1]
+    return {"kind": "image", "width": width, "height": h, "sample_rate": 0,
+            "n_frames": 1, "samples": np.ascontiguousarray(px).reshape(-1)}, None
+
+
+def _decode_ppm(p: bytes) -> tuple[dict | None, str | None]:
+    """Netpbm P6 binary: ASCII header tokens (whitespace-separated, `#`
+    comments run to end-of-line) then one whitespace byte and raw RGB."""
+    pos, tokens = 2, []
+    n = len(p)
+    while len(tokens) < 3:
+        while pos < n and p[pos] in b" \t\r\n\x0b\x0c":
+            pos += 1
+        if pos < n and p[pos] == 0x23:  # '#' comment
+            while pos < n and p[pos] not in b"\r\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < n and p[pos] in b"0123456789":
+            pos += 1
+        if pos == start:
+            return None, "bad_ppm_header"
+        tokens.append(int(p[start:pos]))
+    if pos >= n or p[pos] not in b" \t\r\n\x0b\x0c":
+        return None, "bad_ppm_header"
+    pos += 1  # exactly one whitespace byte after maxval (spec)
+    width, height, maxval = tokens
+    if width <= 0 or height <= 0:
+        return None, "bad_ppm_dims"
+    if not 0 < maxval <= 255:
+        return None, "unsupported_ppm_maxval"  # 2-byte samples out of scope
+    need = width * height * 3
+    if n - pos < need:
+        return None, "truncated_ppm_pixels"
+    return {"kind": "image", "width": width, "height": height,
+            "sample_rate": 0, "n_frames": 1,
+            "samples": np.frombuffer(p, np.uint8, need, pos)}, None
+
+
+def _decode_wav(p: bytes) -> tuple[dict | None, str | None]:
+    """RIFF/WAVE integer PCM (format tag 1), 8- or 16-bit. n_frames is the
+    PCM sample-frame count (data bytes / block align); chunks are walked
+    with word alignment per the RIFF spec."""
+    if len(p) < 12 or p[8:12] != b"WAVE":
+        return None, "bad_riff_form"
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(p):
+        cid = p[pos:pos + 4]
+        csz, = struct.unpack_from("<I", p, pos + 4)
+        if pos + 8 + csz > len(p):
+            return None, "truncated_wav_chunk"
+        body = p[pos + 8:pos + 8 + csz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + csz + (csz & 1)
+    if fmt is None or len(fmt) < 16 or data is None:
+        return None, "missing_wav_chunk"
+    audio_fmt, channels, rate, _, block_align, bits = \
+        struct.unpack_from("<HHIIHH", fmt)
+    if audio_fmt != 1:
+        return None, "unsupported_wav_codec"
+    if bits not in (8, 16) or channels == 0 or block_align == 0:
+        return None, "unsupported_wav_layout"
+    return {"kind": "audio", "width": 0, "height": 0,
+            "sample_rate": int(rate),
+            "n_frames": len(data) // block_align,
+            "samples": np.frombuffer(data, np.uint8)}, None
+
+
+def _decode_y4m(p: bytes) -> tuple[dict | None, str | None]:
+    """YUV4MPEG2 uncompressed video: ASCII stream header (W/H/F/C
+    parameters), then per-frame `FRAME`-marker lines and raw planar YUV.
+    Real frame boundaries are recorded in `frame_bounds` (offset, size
+    into `samples`) so frame sampling addresses true frames."""
+    nl = p.find(b"\x0a")
+    if nl < 0:
+        return None, "bad_y4m_header"
+    width = height = 0
+    fps_num, fps_den = 0, 1
+    colorspace = "420"
+    for tok in p[9:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        try:
+            if tag == b"W":
+                width = int(val)
+            elif tag == b"H":
+                height = int(val)
+            elif tag == b"F":
+                num, den = val.split(b":")
+                fps_num, fps_den = int(num), int(den)
+            elif tag == b"C":
+                colorspace = val.decode("ascii")
+        except ValueError:
+            return None, "bad_y4m_header"
+    if width <= 0 or height <= 0:
+        return None, "bad_y4m_dims"
+    if colorspace.startswith("420"):
+        frame_size = width * height * 3 // 2
+    elif colorspace.startswith("422"):
+        frame_size = width * height * 2
+    elif colorspace.startswith("444"):
+        frame_size = width * height * 3
+    elif colorspace.startswith("mono"):
+        frame_size = width * height
+    else:
+        return None, "unsupported_y4m_colorspace"
+    pos = nl + 1
+    chunks: list[bytes] = []
+    bounds: list[tuple[int, int]] = []
+    off = 0
+    while pos < len(p):
+        if p[pos:pos + 5] != b"FRAME":
+            return None, "bad_y4m_frame_marker"
+        fnl = p.find(b"\x0a", pos)
+        if fnl < 0:
+            return None, "bad_y4m_frame_marker"
+        pos = fnl + 1
+        if pos + frame_size > len(p):
+            return None, "truncated_y4m_frame"
+        chunks.append(p[pos:pos + frame_size])
+        bounds.append((off, frame_size))
+        off += frame_size
+        pos += frame_size
+    samples = (np.frombuffer(b"".join(chunks), dtype=np.uint8)
+               if chunks else np.empty(0, dtype=np.uint8))
+    return {"kind": "video", "width": width, "height": height,
+            "sample_rate": fps_num // fps_den if fps_den else 0,
+            "n_frames": len(bounds), "samples": samples,
+            "frame_bounds": bounds}, None
+
+
+def decode_payload_media(payload: bytes) -> tuple[dict | None, str | None]:
+    """Magic-byte dispatch over the supported container formats. Unknown
+    magic → quarantine row, mirroring the extract pipeline's error
+    taxonomy (a real deployment adds compressed codecs here)."""
+    if payload is None or len(payload) < 12:
+        return None, "empty_or_short_payload"
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:4] == b"RIFF":
+        return _decode_wav(payload)
+    if payload[:9] == b"YUV4MPEG2":
+        return _decode_y4m(payload)
+    if payload[:4] == _MAGIC:
+        if len(payload) < 21:
+            return None, "empty_or_short_payload"
+        return _decode_mmk1(payload)
+    return None, "unknown_container"
+
+
+# Back-compat alias (the round-2 name; decode is no longer a stub for the
+# four real formats above, MMK1 remains the compressed-codec stand-in).
+_decode_stub = decode_payload_media
+
+
 def _meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = {k: [] for k in ("media_id", "kind", "width", "height",
                                 "sample_rate", "n_frames", "n_bytes", "error")}
         for mid, payload in zip(pdf["media_id"], pdf["payload"]):
             raw = bytes(payload) if payload is not None else b""
-            meta, err = _decode_stub(raw)
+            meta, err = decode_payload_media(raw)
             rows["media_id"].append(mid)
             rows["kind"].append(meta["kind"] if meta else None)
             rows["width"].append(meta["width"] if meta else 0)
@@ -105,7 +295,7 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         ids, feats, errs = [], [], []
         for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-            meta, err = _decode_stub(
+            meta, err = decode_payload_media(
                 bytes(payload) if payload is not None else b"")
             ids.append(mid)
             if err:
@@ -136,22 +326,32 @@ def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = {k: [] for k in ("media_id", "frame_idx", "frame_off",
                                 "frame_digest")}
         for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-            meta, err = _decode_stub(
+            meta, err = decode_payload_media(
                 bytes(payload) if payload is not None else b"")
             if err or meta["kind"] != "video" or meta["n_frames"] <= 0:
                 continue
             samples = meta["samples"]
-            # the container caps the sample region (4096 bytes in the stub
-            # format): never address frames past the real payload — they
-            # would all hash the empty slice to one digest, collapsing dedup
-            n_eff = min(meta["n_frames"], len(samples))
-            stride = max(len(samples) // max(n_eff, 1), 1)
-            # sample every 4th frame (uniform temporal sampling)
-            for idx in range(0, n_eff, 4):
-                off = idx * stride
-                if off >= len(samples):
-                    break
-                chunk = samples[off:off + stride].tobytes()
+            if "frame_bounds" in meta:
+                # real container (Y4M): true per-frame boundaries
+                pieces = [(idx, off, samples[off:off + size].tobytes())
+                          for idx, (off, size)
+                          in enumerate(meta["frame_bounds"])
+                          if idx % 4 == 0]  # every 4th frame
+            else:
+                # MMK1 stand-in caps the sample region (4096 bytes): never
+                # address frames past the real payload — they would all
+                # hash the empty slice to one digest, collapsing dedup
+                n_eff = min(meta["n_frames"], len(samples))
+                stride = max(len(samples) // max(n_eff, 1), 1)
+                pieces = []
+                # sample every 4th frame (uniform temporal sampling)
+                for idx in range(0, n_eff, 4):
+                    off = idx * stride
+                    if off >= len(samples):
+                        break
+                    pieces.append((idx, off,
+                                   samples[off:off + stride].tobytes()))
+            for idx, off, chunk in pieces:
                 rows["media_id"].append(mid)
                 rows["frame_idx"].append(idx)
                 rows["frame_off"].append(off)

@@ -107,6 +107,119 @@ def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("media_id", "frame_idx", "frame_off"))
 
 
+def _le(expr: str, n: int) -> str:
+    """Little-endian hex of the low n bytes of an integer SQL expression."""
+    parts = [f"lpad(hex((({expr}) div {256 ** i}) % 256), 2, '0')"
+             for i in range(n)]
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def _bmp_hex(w: str, h: str, v: str, pixels: bool = True) -> str:
+    """Spark SQL producing the hex of a real 24-bit BI_RGB BMP: 54-byte
+    header (BITMAPINFOHEADER) + stride-padded pixel rows of byte `v`.
+    pixels=False emits the header only — a truncated pixel array."""
+    stride = f"((({w}) * 3 + 3) div 4) * 4"
+    npix = f"(({stride}) * ({h}))"
+    parts = [
+        "'424D'", _le(f"54 + {npix}", 4),       # magic, file size
+        "'0000000036000000'",                   # reserved, data offset 54
+        "'28000000'", _le(w, 4), _le(h, 4),     # DIB 40, width, height
+        "'01001800'", "'00000000'",             # planes 1, bpp 24, BI_RGB
+        _le(npix, 4),                           # image size
+        "'00000000000000000000000000000000'",   # xppm/yppm/clrused/clrimp
+    ]
+    if pixels:
+        parts.append(f"repeat(lpad(hex({v}), 2, '0'), {npix})")
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def _wav_hex(rate: str, nfr: str, v: str) -> str:
+    """Spark SQL producing the hex of a real RIFF/WAVE PCM16 mono file."""
+    dlen = f"(({nfr}) * 2)"
+    return "concat(" + ", ".join([
+        "'52494646'", _le(f"36 + {dlen}", 4), "'57415645'",  # RIFF/WAVE
+        "'666D7420'", "'10000000'",                          # 'fmt ' len 16
+        "'01000100'", _le(rate, 4), _le(f"({rate}) * 2", 4),  # PCM, mono
+        "'02001000'",                                        # block 2, 16-bit
+        "'64617461'", _le(dlen, 4),                          # 'data'
+        f"repeat(lpad(hex({v}), 2, '0'), {dlen})",
+    ]) + ")"
+
+
+def _ppm_hex(w: str, h: str, v: str) -> str:
+    """Spark SQL producing the hex of a real Netpbm P6 file (ASCII header
+    hex-encoded through hex(string), then raw RGB bytes of `v`)."""
+    header = (f"concat('P6', char(10), cast({w} as string), ' ', "
+              f"cast({h} as string), char(10), '255', char(10))")
+    return (f"concat(hex({header}), "
+            f"repeat(lpad(hex({v}), 2, '0'), ({w}) * ({h}) * 3))")
+
+
+_W_BMP, _H_BMP = "doc_id % 6 + 1", "doc_id % 3 + 1"
+_W_PPM, _H_PPM = "doc_id % 5 + 1", "doc_id % 4 + 1"
+_RATE, _NFR, _V = "8000 + doc_id % 100", "doc_id % 16 + 1", "doc_id % 200 + 20"
+
+_REAL_PAYLOAD_HEX = f"""CASE
+  WHEN doc_id % 11 = 0 THEN {_bmp_hex('4', '2', _V, pixels=False)}
+  WHEN doc_id % 3 = 0 THEN {_bmp_hex(_W_BMP, _H_BMP, _V)}
+  WHEN doc_id % 3 = 1 THEN {_wav_hex(_RATE, _NFR, _V)}
+  ELSE {_ppm_hex(_W_PPM, _H_PPM, _V)} END"""
+
+
+@register(
+    "media_meta_real",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CASE WHEN doc_id % 11 = 0 THEN NULL
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'image' END AS kind,
+           CAST(CASE WHEN doc_id % 11 = 0 THEN 0
+                     WHEN doc_id % 3 = 0 THEN doc_id % 6 + 1
+                     WHEN doc_id % 3 = 2 THEN doc_id % 5 + 1
+                     ELSE 0 END AS INTEGER) AS width,
+           CAST(CASE WHEN doc_id % 11 = 0 THEN 0
+                     WHEN doc_id % 3 = 0 THEN doc_id % 3 + 1
+                     WHEN doc_id % 3 = 2 THEN doc_id % 4 + 1
+                     ELSE 0 END AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 11 <> 0 AND doc_id % 3 = 1
+                     THEN 8000 + doc_id % 100 ELSE 0 END AS INTEGER)
+             AS sample_rate,
+           CAST(CASE WHEN doc_id % 11 = 0 THEN 0
+                     WHEN doc_id % 3 = 1 THEN doc_id % 16 + 1
+                     ELSE 1 END AS INTEGER) AS n_frames,
+           CAST(CASE WHEN doc_id % 11 = 0 THEN 54
+                     WHEN doc_id % 3 = 0 THEN
+                       54 + (((doc_id % 6 + 1) * 3 + 3) // 4) * 4
+                            * (doc_id % 3 + 1)
+                     WHEN doc_id % 3 = 1 THEN 44 + (doc_id % 16 + 1) * 2
+                     ELSE 9 + length(CAST(doc_id % 5 + 1 AS VARCHAR))
+                            + length(CAST(doc_id % 4 + 1 AS VARCHAR))
+                            + (doc_id % 5 + 1) * (doc_id % 4 + 1) * 3
+                     END AS BIGINT) AS n_bytes,
+           CASE WHEN doc_id % 11 = 0 THEN 'truncated_bmp_pixels'
+                ELSE NULL END AS error
+    FROM documents
+    """,
+)
+def media_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-format media decode under the value-exact gate: per doc_id the
+    Spark side hex-constructs a spec-conformant BMP (24-bit BI_RGB,
+    stride-padded), WAV (RIFF PCM16 mono) or PPM (P6, ASCII header) — and,
+    for doc_id % 11 = 0, a BMP whose header claims a pixel array the
+    payload does not carry — then round-trips the bytes through the real
+    magic-dispatch decoder (operators/multimodal.decode_payload_media).
+    The oracle states width/height/sample_rate/frame-count/byte-length
+    arithmetically from the same construction, including the
+    truncated-pixel quarantine branch."""
+    from ..operators.multimodal import decode_media
+
+    docs = tbl(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.expr(f"unhex({_REAL_PAYLOAD_HEX})").alias("payload"))
+    return decode_media(media)
+
+
 @register(
     "media_features",
     oracle="""
