@@ -113,6 +113,7 @@ def _query_runs() -> dict:
     registry = load_all()
     spark = get_spark(master=f"local[{CPUS}]", app_name="bench-queries")
     timings = {}
+    info = {}
     try:
         # session warm-up: run the suite once at the smallest SF so JIT,
         # codegen compilation, and parquet-reader init don't all land on
@@ -121,6 +122,17 @@ def _query_runs() -> dict:
         for name in BENCH_QUERIES:
             registry[name].fn(spark, WARM_SF) \
                 .write.format("noop").mode("overwrite").save()
+        # Warm the BENCH SF's persisted IVF index too (the warm-up above
+        # only builds WARM_SF's): after a fixture regeneration the disk
+        # cache is cold and the full index build would land inside
+        # ann_ivf_topk's timing, making it non-reproducible across
+        # sessions. Build it here and record whether it was cold.
+        from pdf_extract_spark.queries.vectors_q import _ivf_index_dir
+        t0 = time.monotonic()
+        d = _ivf_index_dir(spark, SF_DIR)
+        info["ivf_index_warm_s"] = round(time.monotonic() - t0, 3)
+        info["ivf_cache_was_cold"] = info["ivf_index_warm_s"] > 0.5
+        info["ivf_index_dir"] = d
         for name in BENCH_QUERIES:
             # time plan CONSTRUCTION too: queries that do driver-side setup
             # (index build/reuse, broadcast collect) must pay for it here
@@ -130,7 +142,7 @@ def _query_runs() -> dict:
             timings[name] = round(time.monotonic() - t0, 3)
     finally:
         spark.stop()
-    return timings
+    return timings, info
 
 
 def _median_run(pages_path: str, cpus: int, tag: str,
@@ -171,7 +183,7 @@ def main() -> None:
                           "box; pair_executor_proxy is the N->4N executor "
                           "analog — controls in BENCH.md")
 
-    queries = _query_runs()
+    queries, query_info = _query_runs()
     total = round(sum(queries.values()) + high["wall_s"], 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -187,6 +199,7 @@ def main() -> None:
         "sf": sf,
         "extraction": high,
         "scaling": scaling,
+        "query_info": query_info,
     }))
 
 

@@ -133,9 +133,28 @@ def _read_urls(spark: SparkSession, d: str) -> DataFrame | None:
         return None
 
 
+# Order-insensitive O(1)-state checksum: each row contributes the low 60
+# bits of its sha256 (15 hex chars via conv), summed as DECIMAL(38,0) —
+# exact and commutative, so partition order and merge order never matter —
+# then reduced mod 2^60 and rendered as fixed-width hex. Unlike the
+# previous array_sort(collect_list(...)) digest this buffers ONE number
+# per aggregation state instead of every row digest of a partition (which
+# at 10^12 rows would OOM the agg buffer). It is an audit checksum, not a
+# cryptographic commitment: a 2^-60 collision chance per comparison is
+# fine for detecting divergent reruns.
+_MOD_2_60 = str(1 << 60)
+
+
+def _sum_digest(row_hex_expr: str) -> F.Column:
+    return F.expr(
+        f"lpad(hex(CAST(pmod(SUM(CAST(conv(substring({row_hex_expr}, 1, 15),"
+        f" 16, 10) AS DECIMAL(38,0))), CAST({_MOD_2_60} AS DECIMAL(38,0)))"
+        f" AS BIGINT)), 15, '0')")
+
+
 def lineage_rows(extracted: DataFrame, run_id: str) -> DataFrame:
     """One row per task partition: counts + order-insensitive checksum
-    (sha256 over the sorted per-row text digests)."""
+    (modular sum of per-row text digests — constant agg state)."""
     return (
         extracted
         .groupBy("partition_id")
@@ -143,9 +162,7 @@ def lineage_rows(extracted: DataFrame, run_id: str) -> DataFrame:
             F.count("*").alias("n_in"),
             F.count("text_sha256").alias("n_out"),
             F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_err"),
-            F.sha2(F.concat_ws("", F.array_sort(
-                F.collect_list(F.coalesce("text_sha256", F.lit("")))
-            )), 256).alias("digest"),
+            _sum_digest("coalesce(text_sha256, '0')").alias("digest"),
         )
         .select(F.lit(run_id).alias("run_id"), "partition_id",
                 "n_in", "n_out", "n_err", "digest")
@@ -180,16 +197,70 @@ def _publish_lineage(lineage: DataFrame, out_dir: str, lineage_dir: str,
     return tab
 
 
+class ParquetRunWriter:
+    """Default output writer: directory-partitioned parquet append. Run
+    atomicity comes from the surrounding run-level commit protocol
+    (lineage file as commit marker + crashed-run directory cleanup) —
+    see the module docstring."""
+
+    def __init__(self, extracted_dir: str):
+        self.extracted_dir = extracted_dir
+
+    def write_run(self, ext: DataFrame) -> None:
+        # run_id is a directory partition too: the lineage re-read and any
+        # later per-run audit prune straight to this run's files
+        (ext.write.partitionBy("run_id", "status")
+         .mode("append").parquet(self.extracted_dir))
+
+
+class IcebergRunWriter:
+    """DataFrameWriterV2 seam for an Iceberg output table: one
+    `writeTo(table).append()` — the table format's snapshot commit makes
+    the whole run atomic, subsuming the parquet run-commit protocol
+    (north rule BASELINE.json:14 names Iceberg tables).
+
+    This sandbox cannot ship the iceberg-spark-runtime jar (no installs,
+    no network — waiver recorded in SCALE.md §Iceberg), so construction
+    verifies the catalog is actually configured and fails with the exact
+    spark-submit flags a real cluster needs. Swapping this writer into
+    run_extraction is the ONLY change required — the seam is the point.
+    """
+
+    def __init__(self, spark: SparkSession, table: str):
+        catalog = table.split(".", 1)[0]
+        impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
+        if impl is None:
+            raise RuntimeError(
+                f"no Spark catalog {catalog!r} configured for Iceberg table "
+                f"{table!r}; launch with --packages org.apache.iceberg:"
+                "iceberg-spark-runtime-4.0_2.13:<ver> --conf spark.sql."
+                f"catalog.{catalog}=org.apache.iceberg.spark.SparkCatalog "
+                f"--conf spark.sql.catalog.{catalog}.type=hadoop|hive")
+        self.table = table
+
+    def write_run(self, ext: DataFrame) -> None:
+        # createOrReplace on first run would drop history; append is the
+        # incremental-run semantic. Partitioning (run_id, status) is part
+        # of the table DDL, not the write.
+        ext.writeTo(self.table).append()
+
+
 def run_extraction(
     spark: SparkSession,
     pages: DataFrame,
     out_dir: str,
     run_id: str,
     num_partitions: int = 32,
+    writer=None,
 ) -> dict:
-    """Run (or resume) the extraction job. Returns counters for the run."""
+    """Run (or resume) the extraction job. Returns counters for the run.
+
+    `writer` is the output-format seam (default ParquetRunWriter; pass an
+    IcebergRunWriter on a cluster with the runtime jar)."""
     extracted_dir = os.path.join(out_dir, "extracted")
     lineage_dir = os.path.join(out_dir, "lineage")
+    if writer is None:
+        writer = ParquetRunWriter(extracted_dir)
 
     # run-level commit protocol: drop data from runs that crashed before
     # their lineage (= commit marker) was written, and sweep lineage temp
@@ -226,9 +297,7 @@ def run_extraction(
         .withColumn("status",
                     F.when(F.col("error").isNull(), "ok").otherwise("err"))
     )
-    # run_id is a directory partition too: the lineage re-read below and any
-    # later per-run audit prune straight to this run's files
-    ext.write.partitionBy("run_id", "status").mode("append").parquet(extracted_dir)
+    writer.write_run(ext)
     if snap_dir is not None:
         # the resume snapshot is only needed while the plan above executes
         shutil.rmtree(snap_dir, ignore_errors=True)
@@ -239,21 +308,17 @@ def run_extraction(
     # maxPartitionBytes this tiny job would fan out into hundreds of tasks
     # — widen splits for its duration (scheduling overhead is a FIXED
     # driver cost that would otherwise eat into high-parallelism scaling).
-    # NOTE: session-global conf mutation — any scan planned on this shared
-    # session during the window below gets 512 MB splits. All callers are
-    # single-threaded today; give run_extraction a dedicated session before
-    # adding concurrency.
-    mpb_key = "spark.sql.files.maxPartitionBytes"
-    mpb_old = spark.conf.get(mpb_key)
-    spark.conf.set(mpb_key, str(512 * 1024 * 1024))
-    try:
-        staged = (spark.read.parquet(extracted_dir)
-                  .filter(F.col("run_id") == run_id)
-                  .select("partition_id", "text_sha256", "error"))
-        tab = _publish_lineage(lineage_rows(staged, run_id), out_dir,
-                               lineage_dir, run_id)
-    finally:
-        spark.conf.set(mpb_key, mpb_old)
+    # The wide-split conf lives on a CLONED session (same SparkContext and
+    # cached data, separate SQLConf), so concurrent queries planned on the
+    # caller's session never see it.
+    lineage_spark = spark.newSession()
+    lineage_spark.conf.set("spark.sql.files.maxPartitionBytes",
+                           str(512 * 1024 * 1024))
+    staged = (lineage_spark.read.parquet(extracted_dir)
+              .filter(F.col("run_id") == run_id)
+              .select("partition_id", "text_sha256", "error"))
+    tab = _publish_lineage(lineage_rows(staged, run_id), out_dir,
+                           lineage_dir, run_id)
 
     # run counters from the just-published lineage table (same rows that
     # landed in the commit marker — no extra Spark job)
@@ -277,9 +342,10 @@ def quarantine(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 def final_digest(spark: SparkSession, out_dir: str) -> str:
-    """Order-insensitive digest of the clean output table (resume tests)."""
+    """Order-insensitive digest of the clean output table (resume tests):
+    modular sum over per-row sha256(url|text_sha256) — O(1) agg state,
+    same construction as the lineage checksum."""
     row = extracted_ok(spark, out_dir).agg(
-        F.sha2(F.concat_ws("", F.array_sort(
-            F.collect_list(F.concat_ws("|", "url", "text_sha256")))), 256)
+        _sum_digest("sha2(concat_ws('|', url, text_sha256), 256)")
         .alias("d")).collect()[0]
     return row["d"]

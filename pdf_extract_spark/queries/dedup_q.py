@@ -379,12 +379,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
           " CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))")
     nb = ("sqrt(aggregate(zip_with(vb, vb, (x, y) -> CAST(x AS DOUBLE) *"
           " CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))")
-    return (
+    res = (
         cand.join(a, "a_id").join(b, "b_id")
         .select("a_id", "b_id",
                 F.expr(f"{dot} / ({na} * {nb})").alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.99)
     )
+    # Materialize the (small, bounded-by-near-dup-count) result eagerly so
+    # the cached corpus and the broadcast matrix can be released NOW — a
+    # long-lived session invoking this repeatedly (bench warm-up + timed
+    # run, oracle sweeps) must not accumulate cached partitions and
+    # broadcast blocks. Downstream actions read the checkpointed blocks.
+    res = res.localCheckpoint(eager=True)
+    aug.unpersist()
+    bc.destroy()
+    return res
 
 
 # --- SRP-LSH bucketed embedding near-dup (scale path) ---------------------

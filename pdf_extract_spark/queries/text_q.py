@@ -356,6 +356,113 @@ def lang_id_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("lang") == pred).alias("correct"))
 
 
+from ..kernels.textstats import EN_STOPWORDS as _EN_STOP  # noqa: E402
+from .dedup_q import _duck_shingles, _spark_shingles  # noqa: E402
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in sorted(_EN_STOP))
+
+
+@register(
+    "fingerprint_sql",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id, {_duck_shingles(5)} AS shingles
+           FROM s WHERE len(w) >= 5)
+    SELECT doc_id,
+           unnest(list_slice(list_sort(list_transform(shingles,
+                  x -> sha256(x))), 1, 8)) AS fp
+    FROM sh
+    """,
+)
+def fingerprint_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint as a RELATIONAL operator (the pandas-UDF twin
+    is `fingerprint_docs`): bottom-8 sketch of word 5-shingles under
+    sha256 — the same portable-hash discipline as dedup_minhash_lsh, so
+    both engines compute the identical sketch. Winnowing-style dedup
+    fingerprint, narrow projection, no shuffle."""
+    docs = tbl(spark, sf_dir, "documents")
+    sig = (docs.withColumn("w", F.split("text", " "))
+           .filter(F.size("w") >= 5)
+           .select("doc_id", F.expr(_spark_shingles(5)).alias("sh")))
+    sk = F.expr("slice(array_sort(transform(sh, s -> sha2(s, 256))), 1, 8)")
+    return sig.select("doc_id", F.explode(sk).alias("fp"))
+
+
+@register(
+    "summarize_sql",
+    oracle=f"""
+    WITH lst AS (
+      SELECT doc_id,
+             list_filter(list_transform(
+               regexp_extract_all(text, '[^.!?]+[.!?]?'), s -> trim(s)),
+               s -> s <> '') AS sl
+      FROM documents),
+    sents AS (
+      SELECT doc_id, unnest(sl) AS sent,
+             generate_subscripts(sl, 1) - 1 AS pos
+      FROM lst WHERE len(sl) > 0),
+    dw AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_extract_all(lower(text), '[a-z'']+'),
+                    w -> w NOT IN ({_STOP_SQL}))) AS wd
+      FROM documents),
+    freq AS (SELECT doc_id, wd, COUNT(*) AS f FROM dw GROUP BY doc_id, wd),
+    sw AS (
+      SELECT doc_id, pos,
+             unnest(list_filter(regexp_extract_all(lower(sent), '[a-z'']+'),
+                    w -> w NOT IN ({_STOP_SQL}))) AS wd
+      FROM sents),
+    sc AS (
+      SELECT s.doc_id, s.pos,
+             CAST(CAST(SUM(f.f) AS BIGINT) AS DOUBLE) / COUNT(*) AS score
+      FROM sw s JOIN freq f ON f.doc_id = s.doc_id AND f.wd = s.wd
+      GROUP BY s.doc_id, s.pos),
+    ranked AS (
+      SELECT se.doc_id, se.sent, coalesce(sc.score, 0.0) AS score,
+             row_number() OVER (PARTITION BY se.doc_id
+                                ORDER BY coalesce(sc.score, 0.0) DESC,
+                                         se.pos) AS rn
+      FROM sents se LEFT JOIN sc
+        ON sc.doc_id = se.doc_id AND sc.pos = se.pos)
+    SELECT doc_id, sent AS top_sentence, score AS top_score
+    FROM ranked WHERE rn = 1
+    """,
+)
+def summarize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extractive summarization's scoring core as a RELATIONAL operator
+    (the pandas-UDF twin is `summarize_docs`): classic Luhn sentence
+    scoring — document-level non-stopword frequency, per-sentence mean —
+    and the argmax sentence per document (score desc, position asc).
+    Integer frequency sums divide to bit-identical doubles in both
+    engines, so the driver's value hash covers the float column too."""
+    docs = tbl(spark, sf_dir, "documents")
+    sents = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            "filter(transform(regexp_extract_all(text,"
+            " '[^.!?]+[.!?]?', 0), s -> trim(s)), s -> s != '')"))
+        .alias("pos", "sent"))
+    word_of = ("filter(regexp_extract_all(lower({src}), '[a-z'']+', 0),"
+               f" w -> NOT w IN ({_STOP_SQL}))")
+    dw = docs.select(
+        "doc_id", F.explode(F.expr(word_of.format(src="text"))).alias("wd"))
+    freq = dw.groupBy("doc_id", "wd").agg(F.count("*").alias("f"))
+    sw = sents.select(
+        "doc_id", "pos",
+        F.explode(F.expr(word_of.format(src="sent"))).alias("wd"))
+    sc = (sw.join(freq, ["doc_id", "wd"])
+          .groupBy("doc_id", "pos")
+          .agg((F.sum("f").cast("double") / F.count("*")).alias("score")))
+    ranked = (sents.join(sc, ["doc_id", "pos"], "left")
+              .withColumn("score", F.coalesce("score", F.lit(0.0)))
+              .withColumn("rn", F.row_number().over(
+                  Window.partitionBy("doc_id")
+                  .orderBy(F.desc("score"), F.asc("pos")))))
+    return (ranked.filter(F.col("rn") == 1)
+            .select("doc_id", F.col("sent").alias("top_sentence"),
+                    F.col("score").alias("top_score")))
+
+
 # --- kernel-backed queries (rows-only driver check; goldens in pytest) ----
 
 @register("lang_id", oracle=None)

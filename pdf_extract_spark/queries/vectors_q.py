@@ -317,8 +317,15 @@ def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
     write_ivf_index(tbl(spark, sf_dir, "embeddings"), staging)
     try:
         os.rename(staging, d)
-    except OSError:
-        shutil.rmtree(staging, ignore_errors=True)  # lost the race; reuse d
+    except OSError as exc:
+        shutil.rmtree(staging, ignore_errors=True)
+        # rename fails either because a concurrent builder won the race
+        # (d now complete — reuse it) or for an unrelated reason (EXDEV,
+        # permissions): verify before declaring victory by proxy, else
+        # callers would fail later on a path that never materialized
+        if not os.path.exists(os.path.join(d, "ivf_centroids", "_SUCCESS")):
+            raise RuntimeError(
+                f"IVF index publish failed: {staging} -> {d}") from exc
     return d
 
 

@@ -10,10 +10,13 @@ file in memory; per-record payloads are capped at MAX_RECORD_BYTES and
 oversized/invalid-length records are skipped by streaming-discard) and
 exit as Arrow RecordBatches.
 
-PATHS ARE LOCAL-FILESYSTEM (glob + open on the executors): this sandbox
-has no Hadoop FS/fsspec bridge for Python data sources. On a real
-cluster, mount the archive store (fuse/NFS) or swap the two-line
-listing/open for fsspec — partitioning and parsing are unchanged.
+Paths accept an optional URL scheme. Schemeless and `file://` paths are
+listed and opened natively; any other scheme (`s3://`, `https://`,
+`gs://` — where Common Crawl actually lives) dispatches to fsspec when
+it is importable and raises a clear install hint when it is not (this
+sandbox ships no fsspec, so remote reads are exercised through the
+`file://` branch, which takes the same scheme-dispatch path).
+Partitioning and parsing are identical for every scheme.
 
 Only `response` records with an HTTP payload become rows; the HTTP header
 block is stripped (the engine decodes raw html bytes). `text`/`lang` are
@@ -26,6 +29,8 @@ Usage:
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 ROWS_PER_BATCH = 512
@@ -35,6 +40,57 @@ MAX_RECORD_BYTES = 64 * 1024 * 1024  # cap per-record payload buffering
 class _WarcFile(InputPartition):
     def __init__(self, path: str):
         self.path = path
+
+
+def _split_scheme(path: str) -> tuple[str | None, str]:
+    """('s3', 'bucket/key') for 's3://bucket/key'; (None, path) when no
+    scheme. Windows-style drive letters never appear in this engine's
+    deployments, so a single-char scheme is not special-cased."""
+    at = path.find("://")
+    if at > 0:
+        return path[:at].lower(), path[at + 3:]
+    return None, path
+
+
+def _list_paths(glob_str: str) -> list[str]:
+    scheme, rest = _split_scheme(glob_str)
+    if scheme in (None, "file"):
+        import glob as g
+
+        return sorted(g.glob(rest))
+    try:
+        import fsspec
+    except ImportError as exc:  # pragma: no cover - fsspec not in sandbox
+        raise ImportError(
+            f"reading {scheme}:// WARC paths requires fsspec "
+            f"(pip install fsspec[{scheme}])") from exc
+    fs = fsspec.filesystem(scheme)
+    return sorted(f"{scheme}://{p}" for p in fs.glob(rest))
+
+
+@contextlib.contextmanager
+def _open_stream(path: str):
+    """Binary stream for one WARC file, any scheme, gzip-wrapped when the
+    name says so (gzip.GzipFile streams over any file-like, so remote
+    objects decompress incrementally without local staging). Context
+    manager because GzipFile does not close a passed fileobj — both
+    layers close on exit."""
+    import gzip
+
+    scheme, rest = _split_scheme(path)
+    if scheme in (None, "file"):
+        raw = open(rest, "rb")
+    else:  # pragma: no cover - fsspec not in sandbox
+        import fsspec
+
+        raw = fsspec.open(path, "rb").open()
+    stream = gzip.GzipFile(fileobj=raw) if path.endswith(".gz") else raw
+    try:
+        yield stream
+    finally:
+        if stream is not raw:
+            stream.close()
+        raw.close()
 
 
 def _iter_records(stream):
@@ -142,20 +198,16 @@ class WarcReader(DataSourceReader):
             raise ValueError("warc source requires .option('path', <glob>)")
 
     def partitions(self):
-        import glob as g
-
-        paths = sorted(g.glob(self.glob))
+        paths = _list_paths(self.glob)
         if not paths:
             raise FileNotFoundError(f"no WARC files match {self.glob!r}")
         return [_WarcFile(p) for p in paths]
 
     def read(self, partition: _WarcFile):
         import datetime as dt
-        import gzip
 
         import pyarrow as pa
 
-        opener = gzip.open if partition.path.endswith(".gz") else open
         rows: list[tuple] = []
 
         def batch(rs):
@@ -169,7 +221,7 @@ class WarcReader(DataSourceReader):
                 names=["url", "warc_ts", "html", "text", "lang"],
             )
 
-        with opener(partition.path, "rb") as f:
+        with _open_stream(partition.path) as f:
             for headers, payload in _iter_records(f):
                 if headers.get("warc-type") != "response":
                     continue

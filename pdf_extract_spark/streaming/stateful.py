@@ -106,7 +106,16 @@ def run_stream_dedup(spark, input_dir: str, output_dir: str,
                      checkpoint_dir: str, variant: str = "watermark") -> int:
     """Drain the pending backlog through the chosen dedup variant into a
     parquet sink (the memory sink cannot recover from a checkpoint across
-    drains); returns total first-occurrence rows accumulated."""
+    drains); returns total first-occurrence rows accumulated.
+
+    The two variants have DIFFERENT state and output schemas (watermark:
+    url/url_sha/warc_ts; bloom: url/url_sha/shard drain sequence) — a
+    checkpoint written by one cannot resume under the other, and a parquet
+    output dir accumulated under one would mix schemas. Switching variants
+    requires a FRESH checkpoint_dir and output_dir. The bloom variant
+    trades a fixed state size for a one-sided error: a genuinely-new url
+    is dropped at the bloom false-positive rate (documented as safe for
+    training-data dedup, where a lost near-duplicate is cheap)."""
     from ..fixtures.pages import PAGES_SCHEMA
 
     stream = (spark.readStream.schema(PAGES_SCHEMA)

@@ -109,6 +109,48 @@ def test_rerun_when_complete_is_noop(spark, tmp_path_factory):
     shutil.rmtree(base, ignore_errors=True)
 
 
+def test_writer_seam_swaps_output_format(spark, tmp_path_factory):
+    """The output-format seam: run_extraction writes through the injected
+    writer exactly once per run, and the commit protocol (lineage marker,
+    resume) is unchanged by the indirection."""
+    from pdf_extract_spark.plans.pipeline import ParquetRunWriter
+
+    base = str(tmp_path_factory.mktemp("seam"))
+
+    calls = []
+
+    class RecordingWriter(ParquetRunWriter):
+        def write_run(self, ext):
+            calls.append(sorted(ext.columns))
+            super().write_run(ext)
+
+    df = spark.createDataFrame(pages.make_rows(80), schema=pages.PAGES_SCHEMA)
+    w = RecordingWriter(f"{base}/extracted")
+    run_extraction(spark, df, base, run_id="r1", num_partitions=2, writer=w)
+    assert len(calls) == 1
+    assert {"url", "run_id", "status", "text_sha256",
+            "partition_id"} <= set(calls[0])
+    # resume through the seam: nothing left to process, digest stable
+    d1 = final_digest(spark, base)
+    stats = run_extraction(spark, df, base, run_id="r2",
+                           num_partitions=2, writer=w)
+    assert stats["n_in"] == 0 and len(calls) == 2
+    assert final_digest(spark, base) == d1
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_iceberg_writer_requires_configured_catalog(spark):
+    """IcebergRunWriter must fail AT CONSTRUCTION with the exact launch
+    flags when the catalog is absent (this sandbox cannot ship the
+    runtime jar — SCALE.md waiver), not at write time on an executor."""
+    import pytest as _pytest
+
+    from pdf_extract_spark.plans.pipeline import IcebergRunWriter
+
+    with _pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        IcebergRunWriter(spark, "nocat.db.extracted")
+
+
 def test_salted_repartition_balances_oversized_tail(spark):
     """O7 skew evidence: with a heavy oversized tail, salted partitioning
     must cap the max partition byte load near the mean; naive url-hash

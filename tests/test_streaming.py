@@ -250,6 +250,32 @@ def test_warc_source_end_to_end_golden(spark, tmp_path_factory):
     assert n_ok == len(got) > 0
 
 
+def test_warc_file_url_scheme_matches_plain_path(spark, tmp_path_factory):
+    """A `file://` URL must list and read through the SAME scheme-dispatch
+    branch remote schemes take (fsspec swap point) and yield rows
+    identical to the schemeless local read — no network needed to prove
+    the URL plumbing holds."""
+    import os
+
+    from pdf_extract_spark.fixtures.warc import write_warc
+    from pdf_extract_spark.sources.warc import _split_scheme, read_warc
+
+    assert _split_scheme("s3://bucket/key.warc.gz") == \
+        ("s3", "bucket/key.warc.gz")
+    assert _split_scheme("/plain/path.warc") == (None, "/plain/path.warc")
+
+    base = str(tmp_path_factory.mktemp("warc_url"))
+    write_warc(os.path.join(base, "u-00.warc.gz"), 30, start=0)
+    write_warc(os.path.join(base, "u-01.warc"), 20, start=30)
+
+    plain = read_warc(spark, os.path.join(base, "u-*.warc*"))
+    via_url = read_warc(spark, "file://" + os.path.join(base, "u-*.warc*"))
+    assert via_url.rdd.getNumPartitions() == 2
+    a = sorted((r["url"], bytes(r["html"])) for r in plain.collect())
+    b = sorted((r["url"], bytes(r["html"])) for r in via_url.collect())
+    assert a == b and len(a) == 50
+
+
 def test_warc_hardening_chunked_oversized_langdetect(spark, tmp_path_factory):
     """Chunked transfer-encoding bodies are de-chunked, records with
     invalid/oversized Content-Length are skipped without buffering,
