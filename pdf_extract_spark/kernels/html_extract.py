@@ -186,8 +186,9 @@ def _collect_blocks(html: str) -> list[tuple[str, int, int, str]]:
 
     pos = 0
     n = len(html)
+    search = _TOKEN_RE.search  # bind hot callables/locals once
     while pos < n:
-        m = _TOKEN_RE.search(html, pos)
+        m = search(html, pos)
         if m is None:
             data = html[pos:]
             if data and not drop_depth:
@@ -197,26 +198,30 @@ def _collect_blocks(html: str) -> list[tuple[str, int, int, str]]:
                 if a_depth:
                     linked += len("".join(data.split()))
             break
-        if m.start() > pos:
-            data = html[pos:m.start()]
+        start, end = m.span()
+        if start > pos:
+            data = html[pos:start]
             if not drop_depth:
                 if "&" in data:
                     data = _unescape(data)
                 parts.append(data)
                 if a_depth:
                     linked += len("".join(data.split()))
-        pos = m.end()
-        if m.group(1) is not None:
+        pos = end
+        # one C call for all capture groups instead of ~6 m.group(i) calls
+        # per token — this loop runs once per tag of every document
+        g_open_comment, g_start, g_attrs, g_end, g_end_tol, g_bogus = m.groups()
+        if g_open_comment is not None:
             # unterminated comment: html.parser (goahead, end=1) emits data
             # up to AND INCLUDING the next '>' (else next '<', else one
             # char), then resumes normal parsing — mirror that exactly
-            k = html.find(">", m.start() + 1)
+            k = html.find(">", start + 1)
             if k < 0:
-                k2 = html.find("<", m.start() + 1)
-                k = k2 if k2 >= 0 else m.start() + 1
+                k2 = html.find("<", start + 1)
+                k = k2 if k2 >= 0 else start + 1
             else:
                 k += 1
-            data = html[m.start():k]
+            data = html[start:k]
             if not drop_depth:
                 if "&" in data:
                     data = _unescape(data)
@@ -225,13 +230,13 @@ def _collect_blocks(html: str) -> list[tuple[str, int, int, str]]:
                     linked += len("".join(data.split()))
             pos = k
             continue
-        if m.group(6) is not None:
+        if g_bogus is not None:
             continue  # bogus end tag → parse_bogus_comment: no data, no tag
-        if m.group(4) is not None or m.group(5) is not None:
-            closing, name, selfclose = "/", m.group(4) or m.group(5), False
-        elif m.group(2) is not None:
-            closing, name = "", m.group(2)
-            selfclose = _is_selfclose(m.group(3) or "")
+        if g_end is not None or g_end_tol is not None:
+            closing, name, selfclose = "/", g_end or g_end_tol, False
+        elif g_start is not None:
+            closing, name = "", g_start
+            selfclose = _is_selfclose(g_attrs or "")
         else:  # comment / doctype / PI
             continue
         tag = name.lower()

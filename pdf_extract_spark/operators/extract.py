@@ -54,38 +54,36 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from pdf_extract_spark.kernels.textstats import detect_language
 
     for pdf in batches:
-        texts, shas, errors, sizes, langs = [], [], [], [], []
-        for payload, in_lang in zip(pdf["html"], pdf["lang"]):
-            # Arrow hands binary columns over as bytes already — avoid a
-            # per-row copy of the (potentially large) payload
-            if payload is None:
-                raw = b""
-            elif isinstance(payload, bytes):
-                raw = payload
-            else:
-                raw = bytes(payload)
-            text, err = decode_payload(raw)
-            texts.append(text)
-            shas.append(text_sha256(text) if text is not None else None)
-            errors.append(err)
-            sizes.append(len(raw))
-            # crawl archives (WARC source) carry no lang label — detect it
-            # from a bounded prefix of the extracted text (the heuristic
-            # saturates long before 4 KB; a full-document scan would
-            # dominate decode cost on large docs); labeled inputs pass
-            # through verbatim
-            if in_lang is None and text:
-                langs.append(detect_language(text[:4096]))
-            else:
-                langs.append(in_lang)
+        # the kernel call is necessarily per-row (it parses bytes); all
+        # bookkeeping around it runs as whole-batch comprehensions /
+        # vectorized pandas ops, not interleaved per-row appends
+        # (Arrow hands binary columns over as bytes already — avoid a
+        # per-row copy of the potentially large payload)
+        raws = [b"" if p is None else
+                (p if isinstance(p, bytes) else bytes(p))
+                for p in pdf["html"]]
+        decoded = [decode_payload(r) for r in raws]
+        texts = [t for t, _ in decoded]
+        shas = [text_sha256(t) if t is not None else None for t in texts]
+        # crawl archives (WARC source) carry no lang label — detect it
+        # from a bounded prefix of the extracted text (the heuristic
+        # saturates long before 4 KB; a full-document scan would dominate
+        # decode cost on large docs); labeled inputs pass through verbatim
+        # — and a fully-labeled batch (the common case) skips the row loop
+        in_langs = pdf["lang"]
+        if in_langs.isna().any():
+            langs = [detect_language(t[:4096]) if (lg is None and t) else lg
+                     for lg, t in zip(in_langs, texts)]
+        else:
+            langs = in_langs
         yield pd.DataFrame({
             "url": pdf["url"],
             "warc_ts": pdf["warc_ts"],
             "lang": langs,
             "text": texts,
             "text_sha256": shas,
-            "n_bytes": sizes,
-            "error": errors,
+            "n_bytes": [len(r) for r in raws],
+            "error": [e for _, e in decoded],
         })
 
 
