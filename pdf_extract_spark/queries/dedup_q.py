@@ -642,8 +642,42 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure over the same pairs."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
     labels = connected_components(pairs, max_rounds=20)
+    return _cluster_table(labels)
+
+
+def _cluster_table(labels: DataFrame) -> DataFrame:
     w = Window.partitionBy("cluster_id")
     return (labels.select(F.col("node").alias("doc_id"),
                           F.col("label").alias("cluster_id"))
             .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
             .withColumn("n_members", F.count("*").over(w)))
+
+
+@register(
+    "dedup_clusters_star",
+    oracle=f"""
+    WITH RECURSIVE
+    p AS (SELECT a_id, b_id FROM ({_MINHASH_ORACLE_SQL}) mh),
+    e AS (SELECT a_id AS src, b_id AS dst FROM p
+          UNION ALL SELECT b_id, a_id FROM p),
+    n AS (SELECT DISTINCT src AS node FROM e),
+    reach(node, label) AS (
+      SELECT node, node FROM n
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.node),
+    comp AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node)
+    SELECT node AS doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           node = cluster_id AS is_canonical,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+    FROM comp
+    """,
+)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_clusters` computed by the alternating large-star/small-star
+    contraction instead of hash-to-min — SAME oracle, so the driver's
+    value hash proves the O(log n)-round algorithm (the 10^12-node path,
+    Kiveris et al. SoCC'14) produces the identical cluster map, not just
+    the property tests."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
+    labels = connected_components_star(pairs, max_rounds=20)
+    return _cluster_table(labels)
