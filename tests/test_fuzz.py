@@ -115,3 +115,61 @@ def test_kernel_invariants_under_fuzz(text, size, overlap):
     simhash64(text[:300])
     detect_language(text[:300])
     quality_score(text[:300])
+
+
+# --- media container fuzzing ------------------------------------------------
+
+_MEDIA_SEEDS = st.sampled_from([
+    b"BM", b"P6", b"RIFF", b"YUV4MPEG2", b"MMK1", b"\x89PNG\r\n\x1a\n",
+    b"P6\n3 2\n255\n", b"RIFFxxxxWAVE", b"YUV4MPEG2 W4 H2 F25:1\x0aFRAME\x0a",
+])
+_MEDIA_JUNK = st.binary(max_size=200)
+
+
+@given(_MEDIA_SEEDS, _MEDIA_JUNK, st.integers(0, 3))
+@settings(max_examples=300, derandomize=True, deadline=None)
+def test_media_decoder_never_crashes(seed, junk, cut):
+    """Arbitrary bytes after any container magic must decode to
+    (meta, None) or (None, error) — never raise (quarantine discipline),
+    and deterministically."""
+    from pdf_extract_spark.operators.multimodal import decode_payload_media
+
+    payload = seed + junk
+    if cut:
+        payload = payload[:-cut] if cut < len(payload) else b""
+    meta, err = decode_payload_media(payload)
+    assert (meta is None) != (err is None), (meta, err)
+    if meta is not None:
+        assert meta["kind"] in ("image", "audio", "video")
+        assert meta["width"] >= 0 and meta["height"] >= 0
+    again_meta, again_err = decode_payload_media(payload)
+    assert again_err == err
+    if meta is not None:
+        assert {k: v for k, v in again_meta.items() if k != "samples"} == \
+            {k: v for k, v in meta.items() if k != "samples"}
+
+
+@given(st.integers(1, 24), st.integers(1, 16), st.integers(0, 255),
+       st.integers(0, 40))
+@settings(max_examples=150, derandomize=True, deadline=None)
+def test_media_writer_roundtrip_and_truncation(w, h, seed, cut):
+    """Writer output decodes to the written dimensions for every size;
+    any strict prefix either still parses (bytes cut from an ignored
+    trailing region) or quarantines — never raises."""
+    from pdf_extract_spark.fixtures.media import make_bmp, make_ppm, make_wav
+    from pdf_extract_spark.operators.multimodal import decode_payload_media
+
+    for payload, kind in ((make_bmp(w, h, seed), "image"),
+                          (make_ppm(w, h, seed), "image"),
+                          (make_wav(8000 + seed, w * h, seed), "audio")):
+        meta, err = decode_payload_media(payload)
+        assert err is None, err
+        assert meta["kind"] == kind
+        if kind == "image":
+            assert (meta["width"], meta["height"]) == (w, h)
+        else:
+            assert meta["n_frames"] == w * h
+        if cut:
+            trunc = payload[:-cut]
+            m2, e2 = decode_payload_media(trunc)  # must not raise
+            assert (m2 is None) != (e2 is None)
