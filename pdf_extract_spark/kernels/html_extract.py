@@ -177,6 +177,9 @@ def _collect_blocks(html: str) -> list[tuple[str, int, int, str]]:
 
     def flush() -> None:
         nonlocal parts, linked
+        if not parts:  # consecutive block tags — nothing buffered
+            linked = 0
+            return
         raw = "".join(parts)
         text = " ".join(raw.split())
         if text:
@@ -311,12 +314,16 @@ def extract_main_text(html: str) -> str:
     blocks = _collect_blocks(html)
     kept_flags = []
     for text, total, linked, tag in blocks:
-        stripped_len = len("".join(text.split()))
+        # block text is single-space-normalized and non-empty by flush()
+        # construction, so word count and whitespace-stripped length fall
+        # out of one count() instead of two split() allocations per block
+        n_spaces = text.count(" ")
+        stripped_len = len(text) - n_spaces
         density = (linked / stripped_len) if stripped_len else 1.0
         is_content = (
             density <= MAX_LINK_DENSITY
             and total >= MIN_BLOCK_CHARS
-            and len(text.split()) >= MIN_WORDS
+            and n_spaces + 1 >= MIN_WORDS
         )
         kept_flags.append(is_content)
 
