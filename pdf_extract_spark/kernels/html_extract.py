@@ -239,7 +239,9 @@ def _collect_blocks(html: str) -> list[tuple[str, int, int, str]]:
             closing, name, selfclose = "/", g_end or g_end_tol, False
         elif g_start is not None:
             closing, name = "", g_start
-            selfclose = _is_selfclose(g_attrs or "")
+            # empty attr region can never carry the '/' marker — skip the
+            # call for the bare-tag common case
+            selfclose = bool(g_attrs) and _is_selfclose(g_attrs)
         else:  # comment / doctype / PI
             continue
         tag = name.lower()
