@@ -379,9 +379,7 @@ def verify_gate_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "lexical_topk",
-    oracle=f"""
+_LEXICAL_ORACLE = f"""
     WITH {_DUCK_VARIANTS},
     qterms AS (
       SELECT qid, unnest(list_distinct(string_split(vtext, ' '))) AS term
@@ -410,8 +408,10 @@ def verify_gate_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
                                    ORDER BY score DESC, doc_id) AS rn
       FROM scored) t WHERE rn <= {K_MAIN}
-    """,
-)
+    """
+
+
+@register("lexical_topk", oracle=_LEXICAL_ORACLE)
 def lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-text lexical retrieval: inverted-index TF-IDF top-k (the
     BM25-family shape — posting lists via explode, document frequencies,
@@ -447,3 +447,56 @@ def lexical_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
     return (scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
             .filter(F.col("rn") <= K_MAIN))
+
+
+def _lexical_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once disk cache for the persisted lexical index, keyed by the
+    source table's size+mtime fingerprint with an atomic-rename publish —
+    the same protocol as the IVF index (vectors_q._ivf_index_dir)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..plans.lexical import write_lexical_index
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.sha256(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}".encode()).hexdigest()[:16]
+    d = os.path.join(tempfile.gettempdir(), f"pdfx_lex_{tag}")
+    done = os.path.join(d, "meta", "_SUCCESS")
+    if os.path.exists(done):
+        return d
+    staging = f"{d}.build-{uuid.uuid4().hex[:8]}"
+    write_lexical_index(
+        tbl(spark, sf_dir, "documents").select("doc_id", "text"), staging)
+    try:
+        os.rename(staging, d)
+    except OSError as exc:
+        shutil.rmtree(staging, ignore_errors=True)
+        if not os.path.exists(done):
+            raise RuntimeError(
+                f"lexical index publish failed: {staging} -> {d}") from exc
+    return d
+
+
+@register("lexical_topk_indexed", oracle=_LEXICAL_ORACLE)
+def lexical_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`lexical_topk` served from the PERSISTED inverted index
+    (plans/lexical.py): postings and document frequencies are written
+    once, directory-partitioned by term-hash bucket, and each query
+    prunes its scans to the buckets its terms hash into (asserted in
+    tests/test_plans.py) — the web-scale retrieval shape, where the index
+    is a maintained table and per-query cost is proportional to the
+    query's posting lists, not the corpus. SAME oracle as lexical_topk:
+    the driver proves the two paths value-identical."""
+    from ..plans.lexical import lexical_search
+
+    qterms = (_variant_texts(spark, sf_dir)
+              .filter(F.col("variant") == "keywords")
+              .select("qid", F.explode(
+                  F.array_distinct(F.split("vtext", " "))).alias("term")))
+    return lexical_search(spark, _lexical_index_dir(spark, sf_dir),
+                          qterms, K_MAIN)

@@ -284,6 +284,29 @@ def test_star_contraction_matches_hash_to_min(spark):
     # or connected_components_star would have raised
 
 
+def test_lexical_index_scan_partition_prunes(spark):
+    """The persisted-lexical-index search must read ONLY the term-hash
+    bucket partitions its query terms fall into — PartitionFilters on the
+    postings scan, a strict subset of all buckets (the inverted-list read
+    as partition pruning, like the IVF labels)."""
+    import re
+
+    from pdf_extract_spark.plans.lexical import N_BUCKETS, lexical_search
+    from pdf_extract_spark.queries.search_q import _lexical_index_dir
+
+    d = _lexical_index_dir(spark, SF)
+    qterms = spark.createDataFrame(
+        [(0, "table"), (0, "scan"), (1, "window")], "qid long, term string")
+    plan = _plan(lexical_search(spark, d, qterms, k=5))
+    m = re.findall(r"PartitionFilters: \[([^\]]*b[^\]]*)\]", plan)
+    assert m, plan
+    # 3 distinct terms hash into <= 3 buckets of 64 — files are pruned
+    import os
+    n_dirs = len([n for n in os.listdir(os.path.join(d, "postings"))
+                  if n.startswith("b=")])
+    assert n_dirs > 3  # corpus really spans many buckets
+
+
 def test_connected_components_transitive_chain(spark):
     """A~B, B~C without A~C must collapse into ONE cluster (the closure
     step pair generation alone cannot give); two disjoint chains stay
