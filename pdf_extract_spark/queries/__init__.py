@@ -73,4 +73,5 @@ def load_all() -> dict[str, Query]:
     from . import docpipe_q  # noqa: F401
     from . import search_q  # noqa: F401
     from . import media_q  # noqa: F401
+    from . import pipeline_q  # noqa: F401
     return REGISTRY

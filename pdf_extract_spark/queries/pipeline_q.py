@@ -1,0 +1,293 @@
+"""Training-data pipeline ops, round 3 additions: PII scrubbing, sequence
+packing, per-language quota sampling, and duplicated-substring detection —
+the corpus-preparation steps a 100 TB web-text pipeline runs between
+extraction (operators/extract.py) and training, generalizing the
+reference's single-document flow (/root/reference/modules/agents.py) the
+same way dedup_q generalizes its keep-best dedup.
+
+Parity contract (queries/__init__.py): every computed column is aliased
+identically in Spark and DuckDB; integer outputs are BIGINT on both sides
+(DuckDB window SUM yields HUGEINT — always cast); regexes use the
+Java∩RE2-compatible subset (char classes, bounded repetition, \\b, \\d)
+so both engines match identical spans; float divisions share the exact
+expression shape.
+
+Scale notes per query are in the docstrings; the common theme: every op
+here is linear — one groupBy or a two-pass prefix-sum — with no pair
+expansion and no single-partition global window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from . import register, tbl
+from .dedup_q import _DUCK_AUG, _aug_docs, _duck_shingles, _spark_shingles
+
+# --- PII scrubbing ---------------------------------------------------------
+# The corpus is synthetic lowercase prose with no natural PII, so each doc
+# gets a deterministic injected preamble (same discipline as text_q._INJECT
+# for entity extraction): one email, one IPv4, one phone per doc, varying
+# with doc_id so redaction counts and scrubbed bytes are non-trivial.
+
+_PAT_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PAT_IP = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+_PAT_PHONE = r"\b555-\d{4}\b"
+
+_SPARK_PII_INJECT = (
+    "concat('contact u', CAST(doc_id % 50 AS STRING), '@mail.example or "
+    "10.2.', CAST(doc_id % 256 AS STRING), '.7 tel 555-', "
+    "lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), '. ', text)")
+_DUCK_PII_INJECT = (
+    "'contact u' || CAST(doc_id % 50 AS VARCHAR) || '@mail.example or "
+    "10.2.' || CAST(doc_id % 256 AS VARCHAR) || '.7 tel 555-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '. ' || text")
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+    WITH inj AS (SELECT doc_id, {_DUCK_PII_INJECT} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PAT_EMAIL}', 0)) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PAT_IP}', 0)) AS BIGINT)
+             AS n_ips,
+           CAST(len(regexp_extract_all(t, '{_PAT_PHONE}', 0)) AS BIGINT)
+             AS n_phones,
+           sha256(regexp_replace(regexp_replace(regexp_replace(t,
+               '{_PAT_EMAIL}', '<EMAIL>', 'g'),
+               '{_PAT_IP}', '<IP>', 'g'),
+               '{_PAT_PHONE}', '<PHONE>', 'g')) AS scrub_sha
+    FROM inj
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (training-data pipeline op): count and replace emails,
+    IPv4 addresses, and phone numbers with typed placeholders; the output
+    carries sha256 of the scrubbed text so the oracle proves byte-identical
+    redaction, not just identical counts.
+
+    Scale: a narrow per-row map — no shuffle, whole-stage codegen'd JVM
+    regex (Java and RE2 agree on this pattern subset; replacement order
+    email → ip → phone is fixed so overlapping matches resolve
+    identically). At 100 TB this runs at scan speed."""
+    docs = tbl(spark, sf_dir, "documents")
+    t = F.expr(_SPARK_PII_INJECT)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _PAT_EMAIL, "<EMAIL>"),
+            _PAT_IP, "<IP>"),
+        _PAT_PHONE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_PAT_EMAIL), F.lit(0)))
+        .cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(_PAT_IP), F.lit(0)))
+        .cast("bigint").alias("n_ips"),
+        F.size(F.regexp_extract_all(t, F.lit(_PAT_PHONE), F.lit(0)))
+        .cast("bigint").alias("n_phones"),
+        F.sha2(scrubbed, 256).alias("scrub_sha"),
+    )
+
+
+# --- sequence packing ------------------------------------------------------
+
+PACK_BUDGET = 128  # tokens per training sequence
+PACK_CHUNK = 4096  # doc_ids per prefix-sum partition (two-pass global cumsum)
+
+
+@register(
+    "seq_pack",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS off
+      FROM d),
+    s AS (
+      SELECT doc_id, n_tok, off,
+             CAST(unnest(range(off // {PACK_BUDGET},
+                               (off + n_tok - 1) // {PACK_BUDGET} + 1))
+               AS BIGINT) AS seq_id
+      FROM c)
+    SELECT seq_id, doc_id,
+           GREATEST(off, seq_id * {PACK_BUDGET}) AS tok_begin,
+           LEAST(off + n_tok, (seq_id + 1) * {PACK_BUDGET}) AS tok_end
+    FROM s
+    """,
+)
+def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: concatenate the corpus in doc_id
+    order and slice it into fixed {PACK_BUDGET}-token training sequences —
+    the GPT-style concat-then-chunk packing. Output maps each doc to every
+    sequence it intersects with its global token interval clipped to the
+    sequence, so a loader can assemble any seq_id from exactly these rows.
+
+    Scale shape — the global exclusive prefix sum over 10^12 docs is NOT a
+    single-partition window (`Window.orderBy` with no partition key
+    serializes the corpus through one task). It is the classic two-pass
+    scan: (1) per-range partial token sums (one tiny groupBy — one row per
+    {PACK_CHUNK}-doc range), (2) the range prefix offsets broadcast back,
+    (3) a per-range window cumsum that parallelizes across ranges. Both
+    passes are exact integer arithmetic, so the result is bit-identical to
+    the oracle's single-threaded window."""
+    docs = tbl(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    ).withColumn("pid", F.expr(f"doc_id DIV {PACK_CHUNK}"))
+    # pass 1: per-range sums → exclusive range prefixes (tiny: |corpus| /
+    # PACK_CHUNK rows shuffle; at 10^12 docs that is ~2.4e8 rows — still a
+    # groupBy, and the running total over RANGES is 5 orders of magnitude
+    # smaller than one over docs)
+    psums = d.groupBy("pid").agg(F.sum("n_tok").alias("ptok"))
+    wprefix = (Window.orderBy("pid")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    prefixes = psums.select(
+        "pid", F.coalesce(F.sum("ptok").over(wprefix), F.lit(0))
+        .alias("prefix"))
+    # pass 2: within-range exclusive cumsum + broadcast range prefix
+    wlocal = (Window.partitionBy("pid").orderBy("doc_id")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    c = (d.join(F.broadcast(prefixes), "pid")
+         .withColumn("off", F.col("prefix")
+                     + F.coalesce(F.sum("n_tok").over(wlocal), F.lit(0))))
+    B = PACK_BUDGET
+    s = c.select(
+        "doc_id", "n_tok", "off",
+        F.explode(F.sequence(
+            F.expr(f"off DIV {B}"),
+            F.expr(f"(off + n_tok - 1) DIV {B}"))).alias("seq_id"),
+    )
+    return s.select(
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        "doc_id",
+        F.greatest("off", F.expr(f"seq_id * {B}")).cast("bigint")
+        .alias("tok_begin"),
+        F.least(F.expr("off + n_tok"), F.expr(f"(seq_id + 1) * {B}"))
+        .cast("bigint").alias("tok_end"),
+    )
+
+
+# --- per-language quota sampling ------------------------------------------
+
+QUOTA_N = 20  # docs kept per language
+QUOTA_SALT = 32  # stage-1 partial top-N groups per language
+
+
+@register(
+    "quota_sample",
+    oracle=f"""
+    WITH r AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY sha256('qs#' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS smpl_rank
+      FROM documents)
+    SELECT lang, doc_id, CAST(smpl_rank AS BIGINT) AS smpl_rank
+    FROM r WHERE smpl_rank <= {QUOTA_N}
+    """,
+)
+def quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language quota sampling (the language-rebalancing
+    step of a multilingual training mix): rank docs within each language by
+    sha256(doc_id) — a uniform, seed-stable permutation — and keep the
+    first {QUOTA_N}.
+
+    Scale shape — a naive per-lang window is one partition per language,
+    and at web scale `en` is half the corpus: one task sorts 5×10^11 rows.
+    Instead, stage 1 computes a partial top-N inside each of {QUOTA_SALT}
+    salt groups per language (any global top-N row is necessarily in its
+    salt group's top-N, so this is exact, not approximate); stage 2 ranks
+    only the ≤ lang×salt×N survivors. The hot key never concentrates."""
+    docs = tbl(spark, sf_dir, "documents")
+    rk = F.sha2(F.concat(F.lit("qs#"), F.col("doc_id").cast("string")), 256)
+    staged = (docs.select("lang", "doc_id", rk.alias("rk"),
+                          F.pmod(F.col("doc_id"), F.lit(QUOTA_SALT))
+                          .alias("salt"))
+              .groupBy("lang", "salt")
+              .agg(F.slice(F.array_sort(F.collect_list(
+                  F.struct("rk", "doc_id"))), 1, QUOTA_N).alias("top"))
+              .select("lang", F.explode("top").alias("t"))
+              .select("lang", F.col("t.rk").alias("rk"),
+                      F.col("t.doc_id").alias("doc_id")))
+    w = Window.partitionBy("lang").orderBy("rk", "doc_id")
+    return (staged.withColumn("smpl_rank",
+                              F.row_number().over(w).cast("bigint"))
+            .filter(F.col("smpl_rank") <= QUOTA_N)
+            .select("lang", "doc_id", "smpl_rank"))
+
+
+# --- duplicated-substring detection ----------------------------------------
+
+SUBSTR_N = 8  # words per gram (the fixture docs are ~30 words; real
+#              pipelines use 50-token grams — the shape is identical)
+
+
+@register(
+    "dedup_substring",
+    oracle=f"""
+    WITH {_DUCK_AUG},
+    sh AS (
+      SELECT doc_id, {_duck_shingles(SUBSTR_N)} AS grams
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM aug) s),
+    sig AS (SELECT doc_id, grams FROM sh WHERE len(grams) > 0),
+    ex AS (SELECT doc_id, unnest(grams) AS g FROM sig),
+    dupg AS (SELECT g FROM ex GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+    hits AS (
+      SELECT ex.doc_id, COUNT(*) AS n_dup_grams
+      FROM ex JOIN dupg USING (g) GROUP BY ex.doc_id)
+    SELECT sig.doc_id,
+           CAST(len(sig.grams) AS BIGINT) AS n_grams,
+           CAST(COALESCE(h.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CAST(COALESCE(h.n_dup_grams, 0) AS DOUBLE)
+             / CAST(len(sig.grams) AS DOUBLE) AS dup_frac
+    FROM sig LEFT JOIN hits h ON h.doc_id = sig.doc_id
+    """,
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring detection (ExactSubstr-style, Lee et al.
+    "Deduplicating Training Data Makes Language Models Better"): for each
+    doc, how many of its distinct {SUBSTR_N}-word grams also occur in at
+    least one OTHER doc — the per-doc signal a substring-dedup pass cuts
+    on. Runs over the planted-dup augmented corpus (dedup_q._aug_docs), so
+    the perturbed copies light up with dup_frac ≈ 1.
+
+    Scale shape — strictly linear, unlike the pair-emitting dedup ops:
+    one groupBy(gram) marking grams with ≥2 distinct docs, one semi-join
+    back, one groupBy(doc). No pair expansion exists anywhere, so no
+    MAX_POSTING cap is needed — a boilerplate gram shared by 10^6 docs
+    contributes 10^6 join rows (linear in its postings), not 10^12."""
+    aug = _aug_docs(spark, sf_dir)
+    sig = (aug.withColumn("w", F.split("text", " "))
+           .filter(F.size("w") >= SUBSTR_N)
+           .select("doc_id",
+                   F.expr(_spark_shingles(SUBSTR_N)).alias("grams"))
+           .persist())  # 2 downstream subtrees (ex, sizes)
+    try:
+        ex = sig.select("doc_id", F.explode("grams").alias("g"))
+        dupg = (ex.groupBy("g")
+                .agg(F.countDistinct("doc_id").alias("nd"))
+                .filter(F.col("nd") >= 2).select("g"))
+        hits = (ex.join(dupg, "g")
+                .groupBy("doc_id").agg(F.count("*").alias("n_dup_grams")))
+        out = (sig.select("doc_id",
+                          F.size("grams").cast("bigint").alias("n_grams"))
+               .join(hits, "doc_id", "left")
+               .select(
+                   "doc_id", "n_grams",
+                   F.coalesce("n_dup_grams", F.lit(0)).cast("bigint")
+                   .alias("n_dup_grams"),
+                   (F.coalesce("n_dup_grams", F.lit(0)).cast("double")
+                    / F.col("n_grams").cast("double")).alias("dup_frac")))
+        # materialize before unpersisting the shared subtree
+        return out.localCheckpoint(eager=True)
+    finally:
+        sig.unpersist()

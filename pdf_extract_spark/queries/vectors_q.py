@@ -290,6 +290,50 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") <= K))
 
 
+# cosine radius: the fixture embeddings are near-orthogonal random vectors
+# (max query↔corpus cosine ≈ 0.40 at sf0.01), so 0.3 sits in the top-0.1%
+# tail — the result is non-empty at every SF without being a full dump
+RANGE_THRESH = 0.3
+
+
+@register(
+    "ann_range_search",
+    oracle=f"""
+    WITH q AS {_DUCK_Q},
+    d AS (
+      SELECT q.qid, e.vec_id,
+             {_duck_dot('q.qv', 'e.embedding')}
+             / ({_duck_norm('q.qv')} * {_duck_norm('e.embedding')}) AS cos_sim
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id >= {N_QUERIES})
+    SELECT qid, vec_id, cos_sim FROM d WHERE cos_sim >= {RANGE_THRESH}
+    """,
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search — FAISS ``range_search`` relationally: ALL
+    corpus vectors within cosine ≥ {RANGE_THRESH} of each query, not a
+    fixed top-k. The shape a retrieval pipeline uses when recall matters
+    more than a fixed fan-out (e.g. collecting every near-duplicate of a
+    query document).
+
+    Scale: same broadcast theta-join as ann_cosine_topk — the tiny query
+    side broadcasts, the corpus streams partition-parallel with zero
+    shuffle, and (unlike top-k) there is no window at all: the radius
+    predicate filters inside the scan stage, so output size is the only
+    cost driver. The threshold compare runs on the identical double fold
+    both engines compute, so set membership at the cut is engine-exact."""
+    emb = (tbl(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") >= N_QUERIES)
+           .select("vec_id", "embedding"))
+    q = _queries_df(spark, sf_dir)
+    return (F.broadcast(q).crossJoin(emb)
+            .select("qid", "vec_id",
+                    F.expr(f"{_spark_dot('qv', 'embedding')}"
+                           f" / ({_spark_norm('qv')} * {_spark_norm('embedding')})")
+                    .alias("cos_sim"))
+            .filter(F.col("cos_sim") >= RANGE_THRESH))
+
+
 def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per source-table content, cached on disk) the persisted
     IVF index: ivf_vectors partitioned by label + ivf_centroids.

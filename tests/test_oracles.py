@@ -36,6 +36,12 @@ SMOKE = [
     "media_features",
     "lexical_topk",
     "doc_repetition",
+    # round-3 training-data pipeline ops
+    "pii_scrub",
+    "seq_pack",
+    "quota_sample",
+    "dedup_substring",
+    "ann_range_search",
 ]
 
 
