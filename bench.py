@@ -63,6 +63,11 @@ BENCH_QUERIES = [
     "extract_roundtrip",
     "summarize_docs",
     "analyze_docs",
+    "pii_scrub",
+    "seq_pack",
+    "quota_sample",
+    "dedup_substring",
+    "ann_range_search",
 ]
 
 

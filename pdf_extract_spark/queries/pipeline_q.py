@@ -132,31 +132,44 @@ def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape — the global exclusive prefix sum over 10^12 docs is NOT a
     single-partition window (`Window.orderBy` with no partition key
-    serializes the corpus through one task). It is the classic two-pass
-    scan: (1) per-range partial token sums (one tiny groupBy — one row per
-    {PACK_CHUNK}-doc range), (2) the range prefix offsets broadcast back,
-    (3) a per-range window cumsum that parallelizes across ranges. Both
-    passes are exact integer arithmetic, so the result is bit-identical to
-    the oracle's single-threaded window."""
+    serializes the corpus through one task). It is a TWO-LEVEL distributed
+    prefix sum: per-range token sums ({PACK_CHUNK} docs per range) roll up
+    into super-range sums ({PACK_CHUNK}² docs per super-range), so the one
+    unavoidable unpartitioned cumsum runs over |corpus|/{PACK_CHUNK}² rows
+    — ~6×10⁴ at 10^12 docs, metadata scale — while every corpus-sized
+    window partitions by its range key. All passes are exact integer
+    arithmetic, so the result is bit-identical to the oracle's
+    single-threaded window."""
     docs = tbl(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
     ).withColumn("pid", F.expr(f"doc_id DIV {PACK_CHUNK}"))
-    # pass 1: per-range sums → exclusive range prefixes (tiny: |corpus| /
-    # PACK_CHUNK rows shuffle; at 10^12 docs that is ~2.4e8 rows — still a
-    # groupBy, and the running total over RANGES is 5 orders of magnitude
-    # smaller than one over docs)
-    psums = d.groupBy("pid").agg(F.sum("n_tok").alias("ptok"))
-    wprefix = (Window.orderBy("pid")
-               .rowsBetween(Window.unboundedPreceding, -1))
-    prefixes = psums.select(
-        "pid", F.coalesce(F.sum("ptok").over(wprefix), F.lit(0))
-        .alias("prefix"))
-    # pass 2: within-range exclusive cumsum + broadcast range prefix
+    # level 1: per-range partial sums (|corpus|/PACK_CHUNK rows)
+    psums = (d.groupBy("pid").agg(F.sum("n_tok").alias("ptok"))
+             .withColumn("spid", F.expr(f"pid DIV {PACK_CHUNK}")))
+    # level 2: super-range sums — the only unpartitioned cumsum, over
+    # |corpus|/PACK_CHUNK² rows (one small task at any realistic corpus)
+    wsuper = (Window.orderBy("spid")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    s_pref = (psums.groupBy("spid").agg(F.sum("ptok").alias("stok"))
+              .select("spid",
+                      F.coalesce(F.sum("stok").over(wsuper), F.lit(0))
+                      .alias("sprefix")))
+    # range prefix = super prefix + cumsum of ranges within the super-range
+    wrange = (Window.partitionBy("spid").orderBy("pid")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    prefixes = (psums.join(F.broadcast(s_pref), "spid")
+                .select("pid", (F.col("sprefix")
+                                + F.coalesce(F.sum("ptok").over(wrange),
+                                             F.lit(0))).alias("prefix")))
+    # final pass: within-range exclusive cumsum + range prefix. No
+    # broadcast hint on prefixes: it is |corpus|/PACK_CHUNK rows — AQE
+    # broadcasts it at sandbox scale, and at 10^12 docs it plans as a
+    # shuffled join on pid, the same key the window below partitions by
     wlocal = (Window.partitionBy("pid").orderBy("doc_id")
               .rowsBetween(Window.unboundedPreceding, -1))
-    c = (d.join(F.broadcast(prefixes), "pid")
+    c = (d.join(prefixes, "pid")
          .withColumn("off", F.col("prefix")
                      + F.coalesce(F.sum("n_tok").over(wlocal), F.lit(0))))
     B = PACK_BUDGET
