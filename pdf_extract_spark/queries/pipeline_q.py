@@ -1,6 +1,7 @@
 """Training-data pipeline ops, round 3 additions: PII scrubbing, sequence
-packing, per-language quota sampling, and duplicated-substring detection —
-the corpus-preparation steps a 100 TB web-text pipeline runs between
+packing, per-language quota sampling, duplicated-substring detection, URL
+canonicalization, and deterministic train/val/test splitting — the
+corpus-preparation steps a 100 TB web-text pipeline runs between
 extraction (operators/extract.py) and training, generalizing the
 reference's single-document flow (/root/reference/modules/agents.py) the
 same way dedup_q generalizes its keep-best dedup.
@@ -304,3 +305,126 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         sig.unpersist()
+
+
+# --- URL canonicalization ----------------------------------------------------
+# The documents table has no url column, so one is synthesized per doc the
+# same way text_q injects entities / pii_scrub injects PII: mixed-case
+# scheme+host, default port, utm_* tracking params, and a fragment — all
+# the things a crawl-frontier canonicalizer must strip. doc_id % 50 paths
+# collide after stripping, so the dedup count is non-trivial.
+#
+# Replacement strings use NO backreferences: Java spells them $1, RE2
+# spells them \\1 — capture-free passes sidestep the one regex-dialect
+# difference between the engines.
+
+_SPARK_URL_INJECT = (
+    "concat('HTTPS://WWW.Example', CAST(doc_id % 7 AS STRING),"
+    " '.COM:443/page/', CAST(doc_id % 50 AS STRING),"
+    " '?utm_source=s', CAST(doc_id % 3 AS STRING),"
+    " '&id=', CAST(doc_id % 10 AS STRING),"
+    " '&utm_campaign=c', CAST(doc_id % 5 AS STRING), '#sec')")
+_DUCK_URL_INJECT = (
+    "'HTTPS://WWW.Example' || CAST(doc_id % 7 AS VARCHAR)"
+    " || '.COM:443/page/' || CAST(doc_id % 50 AS VARCHAR)"
+    " || '?utm_source=s' || CAST(doc_id % 3 AS VARCHAR)"
+    " || '&id=' || CAST(doc_id % 10 AS VARCHAR)"
+    " || '&utm_campaign=c' || CAST(doc_id % 5 AS VARCHAR) || '#sec'")
+
+# canonicalization passes, applied in this exact order on both engines:
+# 1. drop fragment  2-4. drop utm_* params (three capture-free shapes)
+# 5. strip default https port — host casing is handled by lowering the
+# scheme://host prefix extracted separately.
+_URL_PASSES = [
+    ("#.*$", ""),
+    (r"\?utm_[a-z]+=[^&#]*&", "?"),
+    ("&utm_[a-z]+=[^&#]*", ""),
+    (r"\?utm_[a-z]+=[^&#]*$", ""),
+    (":443/", "/"),
+]
+
+
+def _duck_url_canon(var: str) -> str:
+    e = var
+    for pat, rep in _URL_PASSES:
+        e = f"regexp_replace({e}, '{pat}', '{rep}', 'g')"
+    # lowercase the scheme://host prefix, keep the path case as-is
+    return (f"lower(regexp_extract({e}, '^[^/]*//[^/:]*', 0))"
+            f" || regexp_replace({e}, '^[^/]*//[^/:]*', '', 'g')")
+
+
+@register(
+    "url_canonicalize",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, {_DUCK_URL_INJECT} AS url FROM documents),
+    c AS (SELECT doc_id, {_duck_url_canon('url')} AS canon_url FROM u)
+    SELECT doc_id, canon_url,
+           regexp_extract(canon_url, '//([^/:]+)', 1) AS host,
+           CAST(COUNT(*) OVER (PARTITION BY canon_url) AS BIGINT)
+             AS n_same_canon
+    FROM c
+    """,
+)
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (crawl-frontier / URL-level dedup op): strip
+    fragments and utm_* tracking params, drop the default https port,
+    lowercase scheme+host (path case preserved, per RFC 3986 — only the
+    authority is case-insensitive), then count docs sharing a canonical
+    URL. Capture-free regex passes in a fixed order keep Java and RE2
+    byte-identical.
+
+    Scale: the passes are narrow codegen'd maps; the only shuffle is the
+    count window's hash on canon_url. A canonical URL shared by millions
+    of docs (a crawl-loop pathology) concentrates one key — the same
+    MAX_BUCKET discipline as LSH would cap it in a frontier job; here the
+    count IS the requested output, and it is one bigint per row, not a
+    pair expansion."""
+    docs = tbl(spark, sf_dir, "documents")
+    e: object = F.expr(_SPARK_URL_INJECT)
+    for pat, rep in _URL_PASSES:
+        e = F.regexp_replace(e, pat, rep)
+    canon = F.concat(
+        F.lower(F.regexp_extract(e, "^[^/]*//[^/:]*", 0)),
+        F.regexp_replace(e, "^[^/]*//[^/:]*", ""))
+    w = Window.partitionBy("canon_url")
+    return (docs.select("doc_id", canon.alias("canon_url"))
+            .select("doc_id", "canon_url",
+                    F.regexp_extract("canon_url", "//([^/:]+)", 1)
+                    .alias("host"))
+            .withColumn("n_same_canon",
+                        F.count("*").over(w).cast("bigint")))
+
+
+# --- deterministic train/val/test split -------------------------------------
+
+@register(
+    "hash_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN h < 'c' THEN 'train'
+                WHEN h < 'e' THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 substr(sha256('split#' || CAST(doc_id AS VARCHAR)), 1, 1)
+                   AS h
+          FROM documents) t
+    """,
+)
+def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content-independent hash:
+    the first hex digit of sha256('split#' || doc_id) buckets 12/16 →
+    train, 2/16 → val, 2/16 → test. Seed-stable (the 'split#' salt is
+    the seed), engine-exact, and — because the hash ignores content — a
+    doc's split never changes when its text is re-extracted, which is the
+    property a training pipeline needs to avoid train/test leakage across
+    corpus versions.
+
+    Scale: pure narrow map, no shuffle."""
+    docs = tbl(spark, sf_dir, "documents")
+    h = F.substring(
+        F.sha2(F.concat(F.lit("split#"), F.col("doc_id").cast("string")),
+               256), 1, 1)
+    return docs.select(
+        "doc_id",
+        F.when(h < "c", "train").when(h < "e", "val").otherwise("test")
+        .alias("split"))

@@ -433,3 +433,35 @@ def test_range_search_broadcasts_and_has_no_window(spark):
     plan = _plan(load_all()["ann_range_search"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "Window" not in plan
+
+
+def test_url_canonicalize_strips_everything(spark):
+    """No fragment, no tracking param, no default port survives; hosts are
+    lowercase; the %50 path collision makes dup counts non-trivial."""
+    from pdf_extract_spark.queries import load_all
+
+    rows = load_all()["url_canonicalize"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        u = r["canon_url"]
+        assert "#" not in u and "utm_" not in u and ":443" not in u, u
+        assert r["host"] == r["host"].lower()
+        assert u.startswith("https://www.example")
+    assert any(r["n_same_canon"] > 1 for r in rows)
+
+
+def test_hash_split_fractions_and_stability(spark):
+    """Split is ~12/2/2 sixteenths and content-independent: the assignment
+    for a doc_id never changes between invocations."""
+    from pdf_extract_spark.queries import load_all
+
+    fn = load_all()["hash_split"].fn
+    a = {r["doc_id"]: r["split"] for r in fn(spark, SF).collect()}
+    b = {r["doc_id"]: r["split"] for r in fn(spark, SF).collect()}
+    assert a == b
+    n = len(a)
+    frac = {s: sum(1 for v in a.values() if v == s) / n
+            for s in ("train", "val", "test")}
+    assert abs(frac["train"] - 12 / 16) < 0.1
+    assert abs(frac["val"] - 2 / 16) < 0.07
+    assert abs(frac["test"] - 2 / 16) < 0.07
