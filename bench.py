@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     "quota_sample",
     "dedup_substring",
     "ann_range_search",
+    "url_canonicalize",
+    "hash_split",
+    "top_ngrams",
 ]
 
 

@@ -428,3 +428,71 @@ def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(h < "c", "train").when(h < "e", "val").otherwise("test")
         .alias("split"))
+
+
+# --- per-language n-gram frequency table -------------------------------------
+
+NGRAM_TOP_K = 20
+NGRAM_SALT = 32
+
+
+@register(
+    "top_ngrams",
+    oracle=f"""
+    WITH w AS (
+      SELECT lang, string_split(text, ' ') AS w FROM documents),
+    bg AS (
+      SELECT lang, w[i] || ' ' || w[i + 1] AS bigram
+      FROM (SELECT lang, w, unnest(range(1, len(w))) AS i FROM w) t),
+    cnt AS (
+      SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS n
+      FROM bg GROUP BY lang, bigram),
+    r AS (
+      SELECT lang, bigram, n,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n DESC, bigram) AS rnk
+      FROM cnt)
+    SELECT lang, bigram, n, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= {NGRAM_TOP_K}
+    """,
+)
+def top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language bigram frequency table, top {NGRAM_TOP_K} — the
+    n-gram-LM / boilerplate-phrase-list builder (perplexity filters and
+    Gopher-style repetition lists start from exactly this table).
+
+    Scale shape — two stages, both skew-aware: (1) the bigram count is a
+    groupBy(lang, bigram) with map-side partial aggregation, so a
+    boilerplate bigram appearing 10^9 times arrives at its reducer as
+    one partial row per map task, not 10^9 rows; (2) the per-language
+    top-K uses the same salt-group partial top-N as quota_sample (any
+    global top-K row is in its salt group's top-K — exact), so the hot
+    language never concentrates into one window task. Ties break
+    lexicographically for engine-independent set membership at the cut."""
+    docs = tbl(spark, sf_dir, "documents")
+    w = docs.select("lang", F.split("text", " ").alias("w"))
+    bg = w.select(
+        "lang",
+        F.explode(F.expr(
+            "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1),"
+            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+            " ELSE array() END")).alias("bigram"))
+    cnt = (bg.groupBy("lang", "bigram")
+           .agg(F.count("*").cast("bigint").alias("n")))
+    # stage 1: partial top-K inside salt groups (exactness: a global top-K
+    # row is in its group's top-K for any grouping). Sort key = (-n, bigram)
+    # — struct sort is lexicographic on fields; negate n so array_sort's
+    # ascending order yields descending counts.
+    staged = (cnt.withColumn("salt",
+                             F.pmod(F.xxhash64("bigram"), F.lit(NGRAM_SALT)))
+              .groupBy("lang", "salt")
+              .agg(F.slice(F.array_sort(F.collect_list(
+                  F.struct((-F.col("n")).alias("neg_n"), "bigram", "n"))),
+                  1, NGRAM_TOP_K).alias("top"))
+              .select("lang", F.explode("top").alias("t"))
+              .select("lang", F.col("t.bigram").alias("bigram"),
+                      F.col("t.n").alias("n")))
+    wnd = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    return (staged.withColumn("rnk", F.row_number().over(wnd).cast("bigint"))
+            .filter(F.col("rnk") <= NGRAM_TOP_K)
+            .select("lang", "bigram", "n", "rnk"))

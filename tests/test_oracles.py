@@ -42,6 +42,9 @@ SMOKE = [
     "quota_sample",
     "dedup_substring",
     "ann_range_search",
+    "url_canonicalize",
+    "hash_split",
+    "top_ngrams",
 ]
 
 

@@ -465,3 +465,26 @@ def test_hash_split_fractions_and_stability(spark):
     assert abs(frac["train"] - 12 / 16) < 0.1
     assert abs(frac["val"] - 2 / 16) < 0.07
     assert abs(frac["test"] - 2 / 16) < 0.07
+
+
+def test_top_ngrams_partial_topk_is_exact(spark):
+    """The salt-group partial top-K must equal the naive single-window
+    rank over the full count table."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from pdf_extract_spark.queries import load_all, tbl
+    from pdf_extract_spark.queries.pipeline_q import NGRAM_TOP_K
+
+    got = sorted(map(tuple, load_all()["top_ngrams"].fn(spark, SF).collect()))
+    docs = tbl(spark, SF, "documents")
+    w = docs.select("lang", F.split("text", " ").alias("w"))
+    bg = w.select("lang", F.explode(F.expr(
+        "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1),"
+        " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+        " ELSE array() END")).alias("bigram"))
+    cnt = bg.groupBy("lang", "bigram").agg(F.count("*").cast("bigint").alias("n"))
+    wnd = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    naive = (cnt.withColumn("rnk", F.row_number().over(wnd).cast("bigint"))
+             .filter(F.col("rnk") <= NGRAM_TOP_K)
+             .select("lang", "bigram", "n", "rnk"))
+    assert got == sorted(map(tuple, naive.collect()))
