@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "url_canonicalize",
     "hash_split",
     "top_ngrams",
+    "split_contamination",
 ]
 
 

@@ -496,3 +496,87 @@ def top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (staged.withColumn("rnk", F.row_number().over(wnd).cast("bigint"))
             .filter(F.col("rnk") <= NGRAM_TOP_K)
             .select("lang", "bigram", "n", "rnk"))
+
+
+# --- train/test contamination check ------------------------------------------
+
+CONTAM_N = 8  # words per gram (matches dedup_substring)
+
+
+@register(
+    "split_contamination",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, text,
+             CASE WHEN substr(sha256('split#' || CAST(doc_id AS VARCHAR)),
+                              1, 1) < 'c' THEN 'train'
+                  WHEN substr(sha256('split#' || CAST(doc_id AS VARCHAR)),
+                              1, 1) < 'e' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents),
+    sh AS (
+      SELECT doc_id, split, {_duck_shingles(CONTAM_N)} AS grams
+      FROM (SELECT doc_id, split, string_split(text, ' ') AS w FROM s) t),
+    sig AS (SELECT doc_id, split, grams FROM sh WHERE len(grams) > 0),
+    test_ex AS (
+      SELECT doc_id, unnest(grams) AS g FROM sig WHERE split = 'test'),
+    train_g AS (
+      SELECT DISTINCT unnest(grams) AS g FROM sig WHERE split = 'train'),
+    hits AS (
+      SELECT te.doc_id, COUNT(*) AS n_contam
+      FROM test_ex te JOIN train_g tr USING (g) GROUP BY te.doc_id)
+    SELECT sig.doc_id,
+           CAST(len(sig.grams) AS BIGINT) AS n_grams,
+           CAST(COALESCE(h.n_contam, 0) AS BIGINT) AS n_contam,
+           CAST(COALESCE(h.n_contam, 0) AS DOUBLE)
+             / CAST(len(sig.grams) AS DOUBLE) AS contam_frac
+    FROM sig LEFT JOIN hits h ON h.doc_id = sig.doc_id
+    WHERE sig.split = 'test'
+    """,
+)
+def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination check (the benchmark-decontamination op,
+    e.g. GPT-3 appendix C / PaLM-style 8-gram overlap): for each TEST doc
+    under hash_split's assignment, the fraction of its distinct
+    {CONTAM_N}-grams that also occur anywhere in the TRAIN split. A
+    training pipeline cuts or flags test docs above a threshold before
+    publishing eval numbers.
+
+    Scale shape — same strictly linear inverted-index shape as
+    dedup_substring: distinct train grams via groupBy (map-side partial),
+    one semi-join of test grams against them, one groupBy(doc). The train
+    side is grams-distinct BEFORE the join, so a boilerplate gram in 10^6
+    train docs is ONE join row. No pair expansion anywhere."""
+    docs = tbl(spark, sf_dir, "documents")
+    h = F.substring(
+        F.sha2(F.concat(F.lit("split#"), F.col("doc_id").cast("string")),
+               256), 1, 1)
+    s = docs.select(
+        "doc_id", "text",
+        F.when(h < "c", "train").when(h < "e", "val").otherwise("test")
+        .alias("split"))
+    sig = (s.withColumn("w", F.split("text", " "))
+           .filter(F.size("w") >= CONTAM_N)
+           .select("doc_id", "split",
+                   F.expr(_spark_shingles(CONTAM_N)).alias("grams"))
+           .persist())  # test explode + train explode + final left join
+    try:
+        test_ex = (sig.filter(F.col("split") == "test")
+                   .select("doc_id", F.explode("grams").alias("g")))
+        train_g = (sig.filter(F.col("split") == "train")
+                   .select(F.explode("grams").alias("g")).distinct())
+        hits = (test_ex.join(train_g, "g")
+                .groupBy("doc_id").agg(F.count("*").alias("n_contam")))
+        out = (sig.filter(F.col("split") == "test")
+               .select("doc_id",
+                       F.size("grams").cast("bigint").alias("n_grams"))
+               .join(hits, "doc_id", "left")
+               .select(
+                   "doc_id", "n_grams",
+                   F.coalesce("n_contam", F.lit(0)).cast("bigint")
+                   .alias("n_contam"),
+                   (F.coalesce("n_contam", F.lit(0)).cast("double")
+                    / F.col("n_grams").cast("double")).alias("contam_frac")))
+        return out.localCheckpoint(eager=True)
+    finally:
+        sig.unpersist()

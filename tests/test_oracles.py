@@ -45,6 +45,7 @@ SMOKE = [
     "url_canonicalize",
     "hash_split",
     "top_ngrams",
+    "split_contamination",
 ]
 
 

@@ -488,3 +488,35 @@ def test_top_ngrams_partial_topk_is_exact(spark):
              .filter(F.col("rnk") <= NGRAM_TOP_K)
              .select("lang", "bigram", "n", "rnk"))
     assert got == sorted(map(tuple, naive.collect()))
+
+
+def test_split_contamination_plants_are_found(spark):
+    """Copy a train doc's text onto a test doc → that test doc must score
+    contam_frac == 1.0; output covers exactly the test split."""
+    import pyspark.sql.functions as F
+    from pdf_extract_spark.queries import load_all, tbl
+    from pdf_extract_spark.queries.pipeline_q import CONTAM_N
+
+    # find one train and one test doc with >= CONTAM_N words
+    docs = tbl(spark, SF, "documents")
+    h = F.substring(F.sha2(F.concat(F.lit("split#"),
+                                    F.col("doc_id").cast("string")), 256),
+                    1, 1)
+    s = docs.select("doc_id", "text",
+                    F.when(h < "c", "train").when(h < "e", "val")
+                    .otherwise("test").alias("split")) \
+        .filter(F.size(F.split("text", " ")) >= CONTAM_N)
+    train_row = s.filter(F.col("split") == "train").orderBy("doc_id").first()
+    test_row = s.filter(F.col("split") == "test").orderBy("doc_id").first()
+    planted = spark.createDataFrame(
+        [(test_row["doc_id"], train_row["text"], "en", "src0", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    base = tbl(spark, SF, "documents").filter(
+        F.col("doc_id") != test_row["doc_id"])
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="contam_")
+    base.unionByName(planted).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet"))
+    rows = {r["doc_id"]: r for r in
+            load_all()["split_contamination"].fn(spark, d).collect()}
+    assert rows[test_row["doc_id"]]["contam_frac"] == 1.0
