@@ -239,9 +239,11 @@ def _collect_blocks(html: str) -> list[tuple[str, int, int, str]]:
             closing, name, selfclose = "/", g_end or g_end_tol, False
         elif g_start is not None:
             closing, name = "", g_start
-            # empty attr region can never carry the '/' marker — skip the
-            # call for the bare-tag common case
-            selfclose = bool(g_attrs) and _is_selfclose(g_attrs)
+            # the token regex consumes trailing whitespace before '>', so
+            # an attr region not ending in '/' can never self-close — one
+            # endswith call gates out ~95% of _is_selfclose calls
+            selfclose = (bool(g_attrs) and g_attrs.endswith("/")
+                         and _is_selfclose(g_attrs))
         else:  # comment / doctype / PI
             continue
         tag = name.lower()
