@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "hash_split",
     "top_ngrams",
     "split_contamination",
+    "quality_gate",
 ]
 
 

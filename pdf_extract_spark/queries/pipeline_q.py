@@ -580,3 +580,57 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         sig.unpersist()
+
+
+# --- composite keep/reject gate ----------------------------------------------
+
+from . import REGISTRY as _REGISTRY  # noqa: E402
+from . import text_q as _text_q  # noqa: E402,F401  (registers doc_quality/doc_repetition)
+
+_Q_ORACLE = _REGISTRY["doc_quality"].oracle
+_R_ORACLE = _REGISTRY["doc_repetition"].oracle
+
+
+@register(
+    "quality_gate",
+    oracle=f"""
+    WITH q AS ({_Q_ORACLE}),
+    r AS ({_R_ORACLE})
+    SELECT q.doc_id, q.quality, r.repetitive, r.n_words,
+           (q.quality >= CAST(0.8 AS DOUBLE) AND NOT r.repetitive
+            AND r.n_words BETWEEN 5 AND 100000) AS keep,
+           CASE WHEN q.quality < CAST(0.8 AS DOUBLE) THEN 'low_quality'
+                WHEN r.repetitive THEN 'repetitive'
+                WHEN r.n_words < 5 OR r.n_words > 100000 THEN 'length'
+                ELSE NULL END AS reject_reason
+    FROM q JOIN r ON q.doc_id = r.doc_id
+    """,
+)
+def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final keep/reject decision a corpus pipeline publishes — the
+    C4/Gopher-style composite filter fusing the banded quality score
+    (doc_quality), the repetition reject flags (doc_repetition), and a
+    length band, with a first-failing-rule reject_reason (rule order
+    fixed, so reasons are engine-exact). Composes the registered signal
+    queries rather than reimplementing them — exactly how the signals
+    would be reused from published signal tables in production.
+
+    Scale: both inputs aggregate on doc_id, so the final equi-join is
+    co-partitioned on the same key Catalyst already hashed — one logical
+    shuffle pipeline end to end. (Docs with <2 words are absent from the
+    repetition table and drop out of the inner join: they are rejected
+    upstream by the extraction length filter.)"""
+    q = _REGISTRY["doc_quality"].fn(spark, sf_dir) \
+        .select("doc_id", "quality")
+    r = _REGISTRY["doc_repetition"].fn(spark, sf_dir) \
+        .select("doc_id", "n_words", "repetitive")
+    keep = F.expr("quality >= CAST(0.8 AS DOUBLE) AND NOT repetitive"
+                  " AND n_words BETWEEN 5 AND 100000")
+    reason = F.expr(
+        "CASE WHEN quality < CAST(0.8 AS DOUBLE) THEN 'low_quality'"
+        " WHEN repetitive THEN 'repetitive'"
+        " WHEN n_words < 5 OR n_words > 100000 THEN 'length'"
+        " ELSE NULL END")
+    return (q.join(r, "doc_id")
+            .select("doc_id", "quality", "repetitive", "n_words",
+                    keep.alias("keep"), reason.alias("reject_reason")))

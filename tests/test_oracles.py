@@ -46,6 +46,7 @@ SMOKE = [
     "hash_split",
     "top_ngrams",
     "split_contamination",
+    "quality_gate",
 ]
 
 
