@@ -520,3 +520,17 @@ def test_split_contamination_plants_are_found(spark):
     rows = {r["doc_id"]: r for r in
             load_all()["split_contamination"].fn(spark, d).collect()}
     assert rows[test_row["doc_id"]]["contam_frac"] == 1.0
+
+
+def test_narrow_corpus_prep_ops_have_no_exchange(spark):
+    """pii_scrub and hash_split are pure per-row maps: their physical
+    plans must contain NO Exchange (shuffle) and stay inside whole-stage
+    codegen."""
+    from pdf_extract_spark.queries import load_all
+
+    reg = load_all()
+    for name in ("pii_scrub", "hash_split"):
+        plan = _plan(reg[name].fn(spark, SF))
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+        # "*(n)" is the whole-stage-codegen stage marker in the compact plan
+        assert "*(1) Project" in plan, f"{name} left codegen:\n{plan}"
