@@ -75,3 +75,24 @@ def load_all() -> dict[str, Query]:
     from . import media_q  # noqa: F401
     from . import pipeline_q  # noqa: F401
     return REGISTRY
+
+
+def explode_ne(df: DataFrame, keep: list, arr, alias: str) -> DataFrame:
+    """``select(*keep, explode(arr))`` minus the InferFiltersFromGenerate
+    tax. Plain ``explode`` makes Spark synthesize a ``size(child) > 0 AND
+    isnotnull(child)`` guard and push it through projections into the
+    scan, re-evaluating the WHOLE array expression once more per row —
+    with per-element re-inlining of its inputs (e.g. ``element_at(w, i)``
+    where ``w = split(text)`` re-runs the split per element). Measured
+    17× on doc_repetition's bigram explode at sf0.1 (5.3 s → 0.3 s).
+    ``explode_outer`` infers no such filter; the post-generate
+    ``isNotNull`` restores plain-explode semantics PROVIDED the array's
+    elements are never null (an empty/null array emits one null-element
+    row, which the filter drops — but a genuine null ELEMENT, which plain
+    explode would keep as a row, is dropped too). Every array built in
+    this package (split / regexp_extract_all / transform-concat /
+    sequence / collect_list slices) is null-element-free."""
+    from pyspark.sql import functions as F
+
+    out = df.select(*keep, F.explode_outer(arr).alias(alias))
+    return out.filter(F.col(alias).isNotNull())

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from . import register, tbl
+from . import explode_ne, register, tbl
 
 N_PERM = 8
 N_BANDS = 4  # 2 rows per band
@@ -198,7 +198,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(slice(ids, i + 1, size(ids) - i), "
         "y -> struct(element_at(ids, i) AS a_id, y AS b_id))))"
     )
-    cand = (buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+    cand = (explode_ne(buckets, [], F.expr(pair_expr), "p")
             .select("p.a_id", "p.b_id")
             .distinct())
     ex = sig.select("doc_id", F.explode("shingles").alias("s"))

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from . import register, tbl
+from . import explode_ne, register, tbl
 from .dedup_q import _DUCK_AUG, _aug_docs, _duck_shingles, _spark_shingles
 
 # --- PII scrubbing ---------------------------------------------------------
@@ -174,12 +174,9 @@ def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
          .withColumn("off", F.col("prefix")
                      + F.coalesce(F.sum("n_tok").over(wlocal), F.lit(0))))
     B = PACK_BUDGET
-    s = c.select(
-        "doc_id", "n_tok", "off",
-        F.explode(F.sequence(
-            F.expr(f"off DIV {B}"),
-            F.expr(f"(off + n_tok - 1) DIV {B}"))).alias("seq_id"),
-    )
+    s = explode_ne(c, ["doc_id", "n_tok", "off"], F.sequence(
+        F.expr(f"off DIV {B}"),
+        F.expr(f"(off + n_tok - 1) DIV {B}")), "seq_id")
     return s.select(
         F.col("seq_id").cast("bigint").alias("seq_id"),
         "doc_id",
@@ -471,12 +468,10 @@ def top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographically for engine-independent set membership at the cut."""
     docs = tbl(spark, sf_dir, "documents")
     w = docs.select("lang", F.split("text", " ").alias("w"))
-    bg = w.select(
-        "lang",
-        F.explode(F.expr(
-            "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1),"
-            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
-            " ELSE array() END")).alias("bigram"))
+    bg = explode_ne(w, ["lang"], F.expr(
+        "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1),"
+        " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+        " ELSE array() END"), "bigram")  # see explode_ne
     cnt = (bg.groupBy("lang", "bigram")
            .agg(F.count("*").cast("bigint").alias("n")))
     # stage 1: partial top-K inside salt groups (exactness: a global top-K

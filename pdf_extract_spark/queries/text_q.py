@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StringType
 from pyspark.sql.window import Window
 
-from . import register, tbl
+from . import explode_ne, register, tbl
 
 
 @register(
@@ -181,8 +181,9 @@ def entity_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (cat("dates", _PAT_DATE)
          .unionByName(cat("numbers", _PAT_NUM))
          .unionByName(cat("names", _PAT_NAME)))
-    return (e.filter(F.size("vals") > 0)
-            .select("doc_id", "category", F.explode("vals").alias("entity")))
+    # explode_ne drops empty-vals rows itself, without the inferred-filter
+    # regex recompute a size() pre-filter or plain explode would trigger
+    return explode_ne(e, ["doc_id", "category"], "vals", "entity")
 
 
 @register(
@@ -222,8 +223,8 @@ def reconcile_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         "substring(text, 1, CAST(ceil(length(text) / 2.0) AS INT))"), " "))
         .alias("s"))
     b = docs.select("doc_id", F.array_distinct(F.split("text", " ")).alias("s"))
-    ea = a.select("doc_id", F.explode("s").alias("w"))
-    eb = b.select("doc_id", F.explode("s").alias("w"))
+    ea = explode_ne(a, ["doc_id"], "s", "w")  # see explode_ne
+    eb = explode_ne(b, ["doc_id"], "s", "w")
     common = (ea.join(eb, ["doc_id", "w"])
               .groupBy("doc_id").agg(F.count("*").alias("n_common")))
     return (
@@ -385,7 +386,7 @@ def fingerprint_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
            .filter(F.size("w") >= 5)
            .select("doc_id", F.expr(_spark_shingles(5)).alias("sh")))
     sk = F.expr("slice(array_sort(transform(sh, s -> sha2(s, 256))), 1, 8)")
-    return sig.select("doc_id", F.explode(sk).alias("fp"))
+    return explode_ne(sig, ["doc_id"], sk, "fp")  # see explode_ne
 
 
 @register(
@@ -436,20 +437,21 @@ def summarize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer frequency sums divide to bit-identical doubles in both
     engines, so the driver's value hash covers the float column too."""
     docs = tbl(spark, sf_dir, "documents")
+    # posexplode_outer + isNotNull: same inferred-filter dodge as
+    # explode_ne (sentence lists are null-element-free)
     sents = docs.select(
         "doc_id",
-        F.posexplode(F.expr(
+        F.posexplode_outer(F.expr(
             "filter(transform(regexp_extract_all(text,"
             " '[^.!?]+[.!?]?', 0), s -> trim(s)), s -> s != '')"))
-        .alias("pos", "sent"))
+        .alias("pos", "sent")).filter(F.col("sent").isNotNull())
     word_of = ("filter(regexp_extract_all(lower({src}), '[a-z'']+', 0),"
                f" w -> NOT w IN ({_STOP_SQL}))")
-    dw = docs.select(
-        "doc_id", F.explode(F.expr(word_of.format(src="text"))).alias("wd"))
+    dw = explode_ne(docs, ["doc_id"],
+                    F.expr(word_of.format(src="text")), "wd")
     freq = dw.groupBy("doc_id", "wd").agg(F.count("*").alias("f"))
-    sw = sents.select(
-        "doc_id", "pos",
-        F.explode(F.expr(word_of.format(src="sent"))).alias("wd"))
+    sw = explode_ne(sents, ["doc_id", "pos"],
+                    F.expr(word_of.format(src="sent")), "wd")
     sc = (sw.join(freq, ["doc_id", "wd"])
           .groupBy("doc_id", "pos")
           .agg((F.sum("f").cast("double") / F.count("*")).alias("score")))
@@ -563,7 +565,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y -> struct(element_at(ids, i).doc_id AS a_id, y.doc_id AS b_id, "
         "element_at(ids, i).simhash AS a_sim, y.simhash AS b_sim))))"
     )
-    return (buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+    return (explode_ne(buckets, [], F.expr(pair_expr), "p")
             .select("p.a_id", "p.b_id", "p.a_sim", "p.b_sim")
             .distinct())
 
@@ -701,7 +703,7 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                " element_at(words, i + 1)))"
                " ELSE array() END").alias("grams"),
     ).filter(F.col("n_words") >= 2)
-    g = base.select("doc_id", F.explode("grams").alias("gram"))
+    g = explode_ne(base, ["doc_id"], "grams", "gram")  # see explode_ne
     gc = g.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
     top = gc.groupBy("doc_id").agg(
         F.max("c").alias("top_c"),
