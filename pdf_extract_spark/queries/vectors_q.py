@@ -416,3 +416,175 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _ivf_index_dir(spark, sf_dir)
     return ivf_search(spark, d, _queries_df(spark, sf_dir), k=K, nprobe=2)
+
+
+# --- scalar-quantized (int8) ANN ---------------------------------------------
+# FAISS IndexScalarQuantizer (SQ8) relationally: per-dimension min/max over
+# the corpus define a linear codebook; vectors quantize to 0..255 integers
+# (4x smaller than float32 — at 100 TB of embeddings the difference between
+# fitting in cluster memory and not); candidate generation ranks a
+# quantized cosine over CENTERED codes (code − 128) — raw-code dot
+# products are useless because the +128 offset term swamps the signal
+# (measured recall 0.1; FAISS dequantizes before scoring for the same
+# reason), while centered-code cosine recovers recall 1.0 on the fixture.
+# Numerator and both squared norms are exact INTEGER sums; the only float
+# ops are sqrt (IEEE-mandated correctly rounded) and one division — both
+# engine-deterministic, unlike transcendental log/exp — so the whole
+# codebook and shortlist are oracle-replayable.
+
+SQ_OVERSAMPLE = 3  # shortlist 3*K candidates per query before exact rescore
+
+_DUCK_SQ8 = """
+    ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+           FROM c CROSS JOIN (SELECT CAST(range AS INT) AS i
+                              FROM range(1, 65)) dims),
+    st AS (SELECT i, MIN(v) AS mn, MAX(v) AS mx FROM ex GROUP BY i),
+    cq AS (SELECT vec_id, list(q ORDER BY i) AS q8 FROM (
+             SELECT e.vec_id, e.i,
+                    CASE WHEN st.mx = st.mn THEN CAST(0 AS BIGINT)
+                         ELSE CAST(least(255.0, greatest(0.0,
+                              floor((e.v - st.mn) * 255.0
+                                    / (st.mx - st.mn)))) AS BIGINT)
+                    END AS q
+             FROM ex e JOIN st ON st.i = e.i) t
+           GROUP BY vec_id),
+    qq AS (SELECT qid, list(q ORDER BY i) AS q8 FROM (
+             SELECT q.qid, st.i,
+                    CASE WHEN st.mx = st.mn THEN CAST(0 AS BIGINT)
+                         ELSE CAST(least(255.0, greatest(0.0,
+                              floor((CAST(q.qv[st.i] AS DOUBLE) - st.mn)
+                                    * 255.0 / (st.mx - st.mn)))) AS BIGINT)
+                    END AS q
+             FROM q CROSS JOIN st) t
+           GROUP BY qid),
+    cqn AS (SELECT vec_id, q8,
+                   CAST(list_sum(list_transform(q8,
+                        x -> (x - 128) * (x - 128))) AS BIGINT) AS nsq
+            FROM cq),
+    qqn AS (SELECT qid, q8,
+                   CAST(list_sum(list_transform(q8,
+                        x -> (x - 128) * (x - 128))) AS BIGINT) AS nsq
+            FROM qq)
+"""
+
+
+@register(
+    "ann_sq_topk",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id >= {N_QUERIES}),
+    q AS {_DUCK_Q},
+    {_DUCK_SQ8},
+    cand AS (
+      SELECT qid, vec_id FROM (
+        SELECT a.qid, a.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY a.qid
+                                  ORDER BY a.approx DESC, a.vec_id) AS arn
+        FROM (
+          SELECT qq.qid, cq.vec_id,
+                 CASE WHEN qq.nsq = 0 OR cq.nsq = 0
+                      THEN CAST(-2.0 AS DOUBLE)
+                      ELSE CAST(CAST(list_sum(list_transform(range(1, 65),
+                               i -> (qq.q8[i] - 128) * (cq.q8[i] - 128)))
+                             AS BIGINT) AS DOUBLE)
+                           / (sqrt(CAST(qq.nsq AS DOUBLE))
+                              * sqrt(CAST(cq.nsq AS DOUBLE)))
+                 END AS approx
+          FROM qqn qq CROSS JOIN cqn cq) a) t
+      WHERE arn <= {SQ_OVERSAMPLE * K})
+    SELECT qid, vec_id, cos_sim, rn FROM (
+      SELECT s.qid, s.vec_id, s.cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY s.qid
+                                ORDER BY s.cos_sim DESC, s.vec_id) AS rn
+      FROM (
+        SELECT q.qid, e.vec_id,
+               {_duck_dot('q.qv', 'e.embedding')}
+               / ({_duck_norm('q.qv')} * {_duck_norm('e.embedding')})
+                 AS cos_sim
+        FROM cand
+        JOIN q ON q.qid = cand.qid
+        JOIN embeddings e ON e.vec_id = cand.vec_id) s) t
+    WHERE rn <= {K}
+    """,
+)
+def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage scalar-quantized ANN: int8 codebook shortlist of
+    {SQ_OVERSAMPLE}×k per query ranked by centered-code quantized cosine
+    (integer numerator and norms; see module comment for why raw-code
+    dots fail), then exact-cosine rescore of the shortlist only. The
+    oracle replays the SAME algorithm, so parity is exact even though
+    the result is approximate relative to brute force (recall vs
+    ann_cosine_topk is asserted separately in tests).
+
+    Scale shape: the per-dim min/max fit is one n×64-row groupBy (at
+    10^12 vectors the codebook would fit on a fixed sample — it is a
+    model, like lm_surprisal's LM); the 64-entry stats COLLECT to the
+    driver (128 doubles) and quantization is then a NARROW codegen'd
+    transform over the corpus — zero shuffle, no explode. Candidate
+    generation is the same broadcast theta-join as ann_cosine_topk but
+    streaming 1-byte-per-dim codes instead of 4-byte floats; the rescore
+    touches float vectors for only nq×{SQ_OVERSAMPLE}k rows via a
+    broadcast semi-join on vec_id."""
+    emb = (tbl(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") >= N_QUERIES)
+           .select("vec_id", "embedding"))
+    q = _queries_df(spark, sf_dir)
+
+    ex = emb.select(F.posexplode("embedding").alias("p", "v"))
+    stats = (ex.groupBy("p")
+             .agg(F.min(F.col("v").cast("double")).alias("mn"),
+                  F.max(F.col("v").cast("double")).alias("mx"))
+             .orderBy("p").collect())  # 64 rows: the codebook is a model
+    mn_arr = F.array(*[F.lit(float(r["mn"])) for r in stats])
+    mx_arr = F.array(*[F.lit(float(r["mx"])) for r in stats])
+
+    def _quant(col: str) -> object:
+        # transform index i is 0-based; literal arrays are 1-based
+        return F.expr(
+            f"transform({col}, (x, i) -> CASE"
+            " WHEN element_at(mxa, i + 1) = element_at(mna, i + 1)"
+            " THEN CAST(0 AS BIGINT)"
+            " ELSE CAST(least(CAST(255.0 AS DOUBLE), greatest("
+            "CAST(0.0 AS DOUBLE), floor((CAST(x AS DOUBLE)"
+            " - element_at(mna, i + 1)) * 255.0"
+            " / (element_at(mxa, i + 1) - element_at(mna, i + 1)))))"
+            " AS BIGINT) END)")
+
+    # per-vector centered squared norm, computed ONCE per row here rather
+    # than once per (query, vector) pair inside the cross join
+    nsq = ("CAST(aggregate(transform(q8, x -> (x - 128L) * (x - 128L)),"
+           " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)")
+    cq = (emb.withColumn("mna", mn_arr).withColumn("mxa", mx_arr)
+          .select("vec_id", _quant("embedding").alias("q8"))
+          .select("vec_id", "q8", F.expr(nsq).alias("nsq")))
+    qq = (q.withColumn("mna", mn_arr).withColumn("mxa", mx_arr)
+          .select("qid", _quant("qv").alias("q8"))
+          .select("qid", "q8", F.expr(nsq).alias("nsq")))
+
+    approx = (
+        "CASE WHEN qn = 0 OR cn = 0 THEN CAST(-2.0 AS DOUBLE)"
+        " ELSE CAST(aggregate(zip_with(qa, qb,"
+        " (x, y) -> (x - 128L) * (y - 128L)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)"
+        " / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) END")
+    wa = Window.partitionBy("qid").orderBy(F.desc("approx"), F.asc("vec_id"))
+    cand = (F.broadcast(qq.select("qid", F.col("q8").alias("qa"),
+                                  F.col("nsq").alias("qn")))
+            .crossJoin(cq.select("vec_id", F.col("q8").alias("qb"),
+                                 F.col("nsq").alias("cn")))
+            .select("qid", "vec_id", F.expr(approx).alias("approx"))
+            .withColumn("arn", F.row_number().over(wa))
+            .filter(F.col("arn") <= SQ_OVERSAMPLE * K)
+            .select("qid", "vec_id"))
+
+    scored = (F.broadcast(cand)
+              .join(emb, "vec_id")
+              .join(F.broadcast(q), "qid")
+              .select("qid", "vec_id",
+                      F.expr(f"{_spark_dot('qv', 'embedding')}"
+                             f" / ({_spark_norm('qv')}"
+                             f" * {_spark_norm('embedding')})")
+                      .alias("cos_sim")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rn") <= K))

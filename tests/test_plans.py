@@ -534,3 +534,61 @@ def test_narrow_corpus_prep_ops_have_no_exchange(spark):
         assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
         # "*(n)" is the whole-stage-codegen stage marker in the compact plan
         assert "*(1) Project" in plan, f"{name} left codegen:\n{plan}"
+
+
+def test_lm_surprisal_broadcasts_lm_and_oov_fires(spark):
+    """The vocab LM and the 1-row total must BROADCAST-join against the
+    exploded corpus side (no shuffle of n_tokens rows for the join), and
+    the VOCAB_K cap must leave real OOV tokens so the fallback path is
+    exercised."""
+    from pdf_extract_spark.queries import load_all
+
+    df = load_all()["lm_surprisal"].fn(spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    rows = df.collect()
+    assert all(r["total_bits"] > 0 and r["mean_bits"] > 0 for r in rows)
+    assert sum(r["n_oov"] for r in rows) > 0, "VOCAB_K cap never bound"
+
+
+def test_domain_gate_splits_and_broadcasts(spark):
+    """The domain verdict table joins back per-doc via broadcast, and the
+    mean-length gate must split the 7 synthesized domains non-trivially."""
+    from pdf_extract_spark.queries import load_all
+
+    df = load_all()["domain_gate"].fn(spark, SF)
+    assert "BroadcastHashJoin" in _plan(df)
+    keeps = {r["domain"]: r["keep"] for r in df.collect()}
+    assert len(keeps) == 7
+    assert any(keeps.values()) and not all(keeps.values())
+
+
+def test_ann_sq_topk_recall_vs_brute(spark):
+    """SQ8 shortlist + exact rescore must recover most of the true top-k:
+    recall@10 >= 0.8 against the brute-force baseline, per query."""
+    from pdf_extract_spark.queries import load_all
+
+    reg = load_all()
+    sq = {}
+    for r in reg["ann_sq_topk"].fn(spark, SF).collect():
+        sq.setdefault(r["qid"], set()).add(r["vec_id"])
+    brute = {}
+    for r in reg["ann_cosine_topk"].fn(spark, SF).collect():
+        brute.setdefault(r["qid"], set()).add(r["vec_id"])
+    assert set(sq) == set(brute)
+    for qid in brute:
+        recall = len(sq[qid] & brute[qid]) / len(brute[qid])
+        assert recall >= 0.8, f"qid={qid} recall={recall}"
+
+
+def test_ann_sq_quantization_is_narrow(spark):
+    """After the 64-row codebook collect, corpus quantization must be a
+    narrow codegen'd transform: no explode/shuffle between the embeddings
+    scan and the integer-dot candidate join (the only Exchange below the
+    candidate window is the window's own hash on qid)."""
+    from pdf_extract_spark.queries import load_all
+
+    plan = _plan(load_all()["ann_sq_topk"].fn(spark, SF))
+    assert "Generate" not in plan, f"explode leaked into the plan:\n{plan}"
+    assert "SortMergeJoin" not in plan
