@@ -73,6 +73,11 @@ BENCH_QUERIES = [
     "top_ngrams",
     "split_contamination",
     "quality_gate",
+    "lm_surprisal",
+    "domain_gate",
+    "ann_sq_topk",
+    "text_normalize",
+    "winnow_fingerprint",
 ]
 
 

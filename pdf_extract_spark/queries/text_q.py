@@ -720,3 +720,142 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ((dup > F.expr("CAST(0.7 AS DOUBLE)"))
                  | (big > F.expr("CAST(0.2 AS DOUBLE)")))
                 .alias("repetitive")))
+
+
+# --- unicode/control-character normalization --------------------------------
+# The janitorial first pass every crawl corpus needs: strip C0 control
+# characters, normalize CRLF, collapse runs of spaces/tabs, trim. The
+# corpus is clean synthetic prose, so deterministic noise is injected per
+# doc first (the pii_scrub/_INJECT discipline): a C0 byte, doc_id-varied
+# tab runs, a CRLF, and trailing spaces. Regexes stay in the Java∩RE2
+# subset (char classes, \x escapes — no backreferences, no lookaround).
+
+_SPARK_NOISE = ("concat(chr(1), repeat(chr(9), CAST(doc_id % 3 AS INT) + 1),"
+                " 'hdr', chr(13), chr(10), text, '   ')")
+_DUCK_NOISE = ("chr(1) || repeat(chr(9), CAST(doc_id % 3 AS INT) + 1)"
+               " || 'hdr' || chr(13) || chr(10) || text || '   '")
+
+# pass order matters and is identical on both engines
+_NORM_PASSES = [
+    (r"\r\n", "\n"),                              # CRLF -> LF
+    (r"[\x00-\x08\x0B\x0C\x0E-\x1F]", ""),        # strip C0 controls
+    (r"[ \t]+", " "),                              # collapse blanks
+    (r"^ +| +$", ""),                              # trim (anchored, no trim()
+]                                                  # dialect drift)
+
+
+@register(
+    "text_normalize",
+    oracle=f"""
+    WITH n AS (SELECT doc_id, {_DUCK_NOISE} AS raw FROM documents),
+    c AS (SELECT doc_id, raw,
+                 regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(raw, '{_NORM_PASSES[0][0]}', '{_NORM_PASSES[0][1]}', 'g'),
+                   '{_NORM_PASSES[1][0]}', '', 'g'),
+                   '{_NORM_PASSES[2][0]}', ' ', 'g'),
+                   '{_NORM_PASSES[3][0]}', '', 'g') AS clean
+          FROM n)
+    SELECT doc_id, clean,
+           CAST(length(raw) AS BIGINT) AS raw_len,
+           CAST(length(clean) AS BIGINT) AS clean_len,
+           CAST(length(raw) - length(clean) AS BIGINT) AS n_removed,
+           sha256(clean) AS clean_sha
+    FROM c
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Control-char/whitespace normalization over noise-injected docs;
+    emits the cleaned text plus byte accounting and a content digest
+    (what an incremental pipeline keys re-extraction on).
+
+    Scale: pure narrow map — four codegen'd JVM regex passes, no
+    shuffle, no Python. DuckDB needs the 'g' flag for global
+    replacement; Spark's regexp_replace is global by default."""
+    docs = tbl(spark, sf_dir, "documents")
+    e: object = F.expr(_SPARK_NOISE)
+    raw = e
+    for pat, rep in _NORM_PASSES:
+        e = F.regexp_replace(e, pat, rep)
+    return docs.select(
+        "doc_id", e.alias("clean"),
+        F.length(raw).cast("bigint").alias("raw_len"),
+        F.length(e).cast("bigint").alias("clean_len"),
+        (F.length(raw) - F.length(e)).cast("bigint").alias("n_removed"),
+        F.sha2(e, 256).alias("clean_sha"))
+
+
+# --- winnowing fingerprints (Schleimer et al. 2003) -------------------------
+# The MOSS local document fingerprint: hash every K-word gram, slide a
+# W-gram window, keep the RIGHTMOST MINIMAL hash per window, distinct the
+# selections. Guarantees any shared run of >= K+W-1 words produces a
+# shared fingerprint — the locality property top-N sha slices
+# (fingerprint_sql) lack. Hashes are fixed-width sha256 hex prefixes, so
+# lexicographic order == numeric order on both engines.
+
+WINNOW_K = 3  # words per gram
+WINNOW_W = 4  # grams per window
+
+
+@register(
+    "winnow_fingerprint",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    gr AS (SELECT doc_id,
+                  list_transform(range(1, len(w) - {WINNOW_K} + 2),
+                    i -> concat_ws(' ', w[i], w[i + 1], w[i + 2])) AS grams
+           FROM w WHERE len(w) >= {WINNOW_K + WINNOW_W - 1}),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(grams) + 1),
+                   i -> struct_pack(pos := i - 1, gr := grams[i]))) AS u,
+                 len(grams) AS ng
+          FROM gr),
+    h AS (SELECT doc_id, ng, u.pos AS pos,
+                 substr(sha256(u.gr), 1, 16) AS fp
+          FROM g),
+    win AS (SELECT doc_id, pos, fp,
+                   unnest(range(greatest(0, pos - {WINNOW_W} + 1),
+                                least(pos, ng - {WINNOW_W}) + 1)) AS wn
+            FROM h),
+    sel AS (SELECT doc_id, pos, fp,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id, wn
+                                      ORDER BY fp, pos DESC) AS rn
+            FROM win)
+    SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp
+    FROM sel WHERE rn = 1
+    """,
+)
+def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (Schleimer, Wilkerson, Aiken, SIGMOD 2003): positional
+    {WINNOW_K}-gram hashes, rightmost-minimum selection per sliding
+    {WINNOW_W}-window, distinct (doc, pos, fp) output. The plagiarism/
+    near-dup fingerprint with the (K+W-1)-word shared-run guarantee.
+
+    Scale: linear with a bounded constant — each gram joins the ≤ W
+    windows covering it (a ×{WINNOW_W} row expansion, NOT a pair
+    expansion), one shuffle on (doc_id, window) for the per-window
+    argmin, one distinct. Window ids derive from positions, so the
+    expansion is generated map-side by sequence(), never by join."""
+    docs = tbl(spark, sf_dir, "documents")
+    w = (docs.select("doc_id", F.split("text", " ").alias("w"))
+         .filter(F.size("w") >= WINNOW_K + WINNOW_W - 1))
+    joined = ", ".join(f"element_at(w, i + {j + 1})"
+                       for j in range(WINNOW_K))
+    gr = w.select(
+        "doc_id",
+        F.expr(f"transform(sequence(0, size(w) - {WINNOW_K}),"
+               f" i -> concat_ws(' ', {joined}))").alias("grams"))
+    g = (gr.select("doc_id", F.size("grams").alias("ng"),
+                   F.posexplode("grams").alias("pos", "gram"))
+         .select("doc_id", "ng", "pos",
+                 F.substring(F.sha2("gram", 256), 1, 16).alias("fp")))
+    win = explode_ne(
+        g, ["doc_id", "pos", "fp"],
+        F.expr(f"sequence(greatest(0, pos - {WINNOW_W} + 1),"
+               f" least(pos, ng - {WINNOW_W}))"), "wn")
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id", "wn").orderBy(F.asc("fp"),
+                                                   F.desc("pos")))
+    return (win.withColumn("rn", rn).filter(F.col("rn") == 1)
+            .select("doc_id", F.col("pos").cast("bigint").alias("pos"),
+                    "fp")
+            .distinct())
