@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "ann_sq_topk",
     "text_normalize",
     "winnow_fingerprint",
+    "dedup_paragraph",
 ]
 
 

@@ -681,3 +681,96 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
     labels = connected_components_star(pairs, max_rounds=20)
     return _cluster_table(labels)
+
+
+# --- paragraph-level dedup (CCNet / C4 discipline) ---------------------------
+# Corpus-wide duplicate-PARAGRAPH removal: the web-corpus staple that
+# document-level dedup misses (cookie banners, nav footers, license
+# blurbs repeated across millions of otherwise-unique pages). CCNet
+# (Wenzek et al. 2020) and C4 (Raffel et al. 2020) both hash paragraphs
+# (C4: three-sentence spans) and keep only the first occurrence
+# corpus-wide, reassembling each document from its surviving paragraphs.
+#
+# The fixture prose has no paragraph breaks, so structure is injected
+# deterministically (the pii_scrub/text_normalize _INJECT discipline): a
+# 6-word boilerplate banner (5 variants keyed by doc_id % 5 — each shared
+# by ~1/5 of the corpus) is prepended, then the word stream is chunked
+# into fixed 6-word "paragraphs". The banner lands exactly in paragraph 0
+# and must vanish from all but its first carrier; natural 6-word chunks
+# from the small-vocabulary fixtures supply organic duplicates too.
+
+PARA_W = 6  # words per paragraph (== banner length, so the banner is para 0)
+
+_SPARK_PARA_RAW = ("concat('cookie notice v', CAST(doc_id % 5 AS STRING),"
+                   " ' accept terms continue ', text)")
+_DUCK_PARA_RAW = ("'cookie notice v' || CAST(doc_id % 5 AS VARCHAR)"
+                  " || ' accept terms continue ' || text")
+
+
+@register(
+    "dedup_paragraph",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, string_split({_DUCK_PARA_RAW}, ' ') AS w
+                 FROM documents),
+    ex AS (SELECT doc_id, u.pos AS pos, u.para AS para FROM (
+             SELECT doc_id,
+                    unnest(list_transform(
+                      range(0, CAST(ceil(len(w) / {PARA_W}.0) AS INT)),
+                      i -> struct_pack(
+                        pos := i,
+                        para := array_to_string(
+                          w[i * {PARA_W} + 1 : i * {PARA_W} + {PARA_W}],
+                          ' ')))) AS u
+             FROM raw)),
+    sel AS (SELECT doc_id, pos, para,
+                   ROW_NUMBER() OVER (PARTITION BY para
+                                      ORDER BY doc_id, pos) = 1 AS keep
+            FROM ex)
+    SELECT doc_id,
+           COUNT(*) AS n_paras,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(para, ' ' ORDER BY pos)
+                      FILTER (WHERE keep), '') AS clean_text
+    FROM sel GROUP BY doc_id
+    """,
+)
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/C4-style corpus-wide paragraph dedup: hash every {PARA_W}-word
+    paragraph, keep only its FIRST occurrence (min (doc_id, pos) across
+    the whole corpus), reassemble each doc from the survivors in original
+    order, and account paragraphs in vs kept.
+
+    Scale: three bounded shuffles, no pair expansion anywhere —
+    (1) groupBy(sha) with a map-side-partial ``min(struct(doc_id, pos))``
+    (a banner shared by 10^6 docs reduces to one row per partition before
+    the exchange — hot keys cost nothing); (2) an equi-join of the
+    exploded paragraphs back to that one-winner-per-key table (build side
+    is 1 row per key, probe-side key skew is AQE skew-join territory);
+    (3) groupBy(doc_id) reassembly whose ``collect_list`` state is
+    bounded by a single document's length, never corpus-sized. Keying by
+    sha2 (not the paragraph text) keeps shuffle rows fixed-width. This is
+    the generalization the document-level suite (dedup_exact/minhash)
+    cannot express: removal INSIDE surviving documents."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    w = docs.select("doc_id",
+                    F.split(F.expr(_SPARK_PARA_RAW), " ").alias("w"))
+    paras = F.expr(
+        f"transform(sequence(0, CAST(ceil(size(w) / {PARA_W}.0) AS INT) - 1),"
+        f" i -> struct(i AS pos,"
+        f" concat_ws(' ', slice(w, i * {PARA_W} + 1, {PARA_W})) AS para))")
+    ex = (explode_ne(w, ["doc_id"], paras, "u")
+          .select("doc_id", F.col("u.pos").alias("pos"),
+                  F.col("u.para").alias("para"))
+          .withColumn("h", F.sha2("para", 256)))
+    firsts = ex.groupBy("h").agg(
+        F.min(F.struct("doc_id", "pos")).alias("f"))
+    sel = (ex.join(firsts, "h")
+           .withColumn("keep", (F.col("doc_id") == F.col("f.doc_id"))
+                       & (F.col("pos") == F.col("f.pos"))))
+    return (sel.groupBy("doc_id").agg(
+        F.count("*").alias("n_paras"),
+        F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_kept"),
+        F.concat_ws(" ", F.transform(
+            F.array_sort(F.collect_list(
+                F.when(F.col("keep"), F.struct("pos", "para")))),
+            lambda x: x.para)).alias("clean_text")))

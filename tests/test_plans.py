@@ -592,3 +592,29 @@ def test_ann_sq_quantization_is_narrow(spark):
     plan = _plan(load_all()["ann_sq_topk"].fn(spark, SF))
     assert "Generate" not in plan, f"explode leaked into the plan:\n{plan}"
     assert "SortMergeJoin" not in plan
+
+
+def test_dedup_paragraph_three_shuffles_no_pair_expansion(spark):
+    """dedup_paragraph's docstring claims exactly three bounded shuffles
+    (winner-per-hash agg, join-back, doc reassembly) and no pair
+    expansion: assert the plan has <= 3 Exchanges, no cartesian/nested-
+    loop join, and that a planted corpus-wide banner actually vanishes
+    from every doc but its first carrier."""
+    from pyspark.sql import functions as F
+
+    from pdf_extract_spark.queries import load_all
+
+    q = load_all()["dedup_paragraph"]
+    df = q.fn(spark, SF)
+    plan = _plan(df)
+    assert plan.count("Exchange") <= 3, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # the injected banner (5 variants over doc_id % 5) is paragraph 0 of
+    # every doc: exactly 5 docs may keep it, everyone else must shed >= 1
+    rows = df.select(
+        F.sum((F.col("n_paras") - F.col("n_kept") == 0).cast("int"))
+        .alias("fully_kept"),
+        F.count("*").alias("n")).collect()[0]
+    assert rows["fully_kept"] <= 5, rows
