@@ -112,7 +112,18 @@ def _extraction_run(pages_path: str, cpus: int, tag: str,
     cmd = ["taskset", "-c", f"0-{cpus - 1}"] if pin else []
     cmd += [sys.executable, os.path.join(REPO, "tools", "scale_run.py"),
             "--pages", pages_path, "--cpus", str(cpus), "--out", out]
-    res = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    # one retry: a measurement subprocess can die to transient host
+    # pressure (OOM-killed JVM, tmp contention from a concurrent run);
+    # surface ITS stderr on failure instead of a bare CalledProcessError
+    for attempt in (1, 2):
+        res = subprocess.run(cmd, capture_output=True, text=True)
+        if res.returncode == 0:
+            break
+        sys.stderr.write(f"[bench] scale_run {tag} attempt {attempt} "
+                         f"failed (rc={res.returncode}):\n"
+                         + res.stderr[-4000:] + "\n")
+    else:
+        raise RuntimeError(f"scale_run {tag} failed twice; stderr above")
     line = [ln for ln in res.stdout.splitlines() if ln.startswith("{")][-1]
     return json.loads(line)
 

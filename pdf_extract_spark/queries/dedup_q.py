@@ -750,8 +750,12 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by a single document's length, never corpus-sized. Keying by
     sha2 (not the paragraph text) keeps shuffle rows fixed-width. This is
     the generalization the document-level suite (dedup_exact/minhash)
-    cannot express: removal INSIDE surviving documents."""
-    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    cannot express: removal INSIDE surviving documents. The up-front
+    repartition fans the single-file fixture scan out before the
+    paragraph/sha build (the _aug_docs discipline; real crawl tables
+    have data-determined split counts)."""
+    docs = (tbl(spark, sf_dir, "documents").select("doc_id", "text")
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id"))
     w = docs.select("doc_id",
                     F.split(F.expr(_SPARK_PARA_RAW), " ").alias("w"))
     paras = F.expr(
@@ -761,12 +765,17 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = (explode_ne(w, ["doc_id"], paras, "u")
           .select("doc_id", F.col("u.pos").alias("pos"),
                   F.col("u.para").alias("para"))
-          .withColumn("h", F.sha2("para", 256)))
-    firsts = ex.groupBy("h").agg(
-        F.min(F.struct("doc_id", "pos")).alias("f"))
+          .withColumn("h", F.sha2("para", 256))
+          # fixed-width string encoding of (doc_id, pos): lexicographic
+          # min == numeric-tuple min, and a STRING min hash-aggregates
+          # with map-side partials (min over a struct falls back to
+          # SortAggregate — hash agg has no struct buffers)
+          .withColumn("enc", F.concat(
+              F.lpad(F.col("doc_id").cast("string"), 19, "0"),
+              F.lpad(F.col("pos").cast("string"), 9, "0"))))
+    firsts = ex.groupBy("h").agg(F.min("enc").alias("f_enc"))
     sel = (ex.join(firsts, "h")
-           .withColumn("keep", (F.col("doc_id") == F.col("f.doc_id"))
-                       & (F.col("pos") == F.col("f.pos"))))
+           .withColumn("keep", F.col("enc") == F.col("f_enc")))
     return (sel.groupBy("doc_id").agg(
         F.count("*").alias("n_paras"),
         F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_kept"),

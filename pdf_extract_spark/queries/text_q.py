@@ -834,8 +834,23 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows covering it (a ×{WINNOW_W} row expansion, NOT a pair
     expansion), one shuffle on (doc_id, window) for the per-window
     argmin, one distinct. Window ids derive from positions, so the
-    expansion is generated map-side by sequence(), never by join."""
-    docs = tbl(spark, sf_dir, "documents")
+    expansion is generated map-side by sequence(), never by join. The
+    fixture table is one parquet file → ~3 scan partitions, so the
+    gram/sha build is fanned out by an up-front repartition (the
+    _aug_docs discipline; a real crawl table's split count is
+    data-determined and wouldn't need it). The argmin is a groupBy
+    ``min`` over a FIXED-WIDTH STRING encoding ``fp || zeropad(1e9-1 -
+    pos)`` — lexicographic min == "min fp, then max pos" == rightmost-
+    minimum — instead of a row_number window or a ``min(struct(...))``:
+    both of those plan as a Sort (windows always; struct-min because
+    hash aggregation doesn't support struct buffers and falls back to
+    SortAggregate), while a string min is a HashAggregate whose partial
+    agg collapses the ×{WINNOW_W} rows map-side with no sort anywhere.
+    Positions are bounded by 10^9-1 words/doc (any real document is
+    orders of magnitude under this)."""
+    docs = (tbl(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id"))
     w = (docs.select("doc_id", F.split("text", " ").alias("w"))
          .filter(F.size("w") >= WINNOW_K + WINNOW_W - 1))
     joined = ", ".join(f"element_at(w, i + {j + 1})"
@@ -852,10 +867,12 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         g, ["doc_id", "pos", "fp"],
         F.expr(f"sequence(greatest(0, pos - {WINNOW_W} + 1),"
                f" least(pos, ng - {WINNOW_W}))"), "wn")
-    rn = F.row_number().over(
-        Window.partitionBy("doc_id", "wn").orderBy(F.asc("fp"),
-                                                   F.desc("pos")))
-    return (win.withColumn("rn", rn).filter(F.col("rn") == 1)
-            .select("doc_id", F.col("pos").cast("bigint").alias("pos"),
-                    "fp")
-            .distinct())
+    inv = F.lit(999_999_999) - F.col("pos")
+    enc = F.concat(F.col("fp"), F.lpad(inv.cast("string"), 9, "0"))
+    sel = win.groupBy("doc_id", "wn").agg(F.min(enc).alias("m"))
+    return (sel.select(
+        "doc_id",
+        (F.lit(999_999_999) - F.substring("m", 17, 9).cast("bigint"))
+        .cast("bigint").alias("pos"),
+        F.substring("m", 1, 16).alias("fp"))
+        .distinct())

@@ -595,11 +595,12 @@ def test_ann_sq_quantization_is_narrow(spark):
 
 
 def test_dedup_paragraph_three_shuffles_no_pair_expansion(spark):
-    """dedup_paragraph's docstring claims exactly three bounded shuffles
-    (winner-per-hash agg, join-back, doc reassembly) and no pair
-    expansion: assert the plan has <= 3 Exchanges, no cartesian/nested-
-    loop join, and that a planted corpus-wide banner actually vanishes
-    from every doc but its first carrier."""
+    """dedup_paragraph's docstring claims three bounded shuffles
+    (winner-per-hash agg, join-back, doc reassembly) plus the fixture
+    fan-out repartition, and no pair expansion: assert the plan has
+    <= 4 Exchanges, no cartesian/nested-loop join, and that a planted
+    corpus-wide banner actually vanishes from every doc but its first
+    carrier."""
     from pyspark.sql import functions as F
 
     from pdf_extract_spark.queries import load_all
@@ -607,7 +608,7 @@ def test_dedup_paragraph_three_shuffles_no_pair_expansion(spark):
     q = load_all()["dedup_paragraph"]
     df = q.fn(spark, SF)
     plan = _plan(df)
-    assert plan.count("Exchange") <= 3, plan
+    assert plan.count("Exchange") <= 4, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -618,3 +619,30 @@ def test_dedup_paragraph_three_shuffles_no_pair_expansion(spark):
         .alias("fully_kept"),
         F.count("*").alias("n")).collect()[0]
     assert rows["fully_kept"] <= 5, rows
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Winnowing's defining property (Schleimer et al. 2003, Thm. 1): any
+    shared word run of length >= K + W - 1 yields at least one shared
+    fingerprint. Plant two otherwise-disjoint docs sharing exactly such a
+    run at DIFFERENT offsets and assert a common fp survives selection."""
+    import os
+    import tempfile
+
+    from pdf_extract_spark.queries import load_all
+    from pdf_extract_spark.queries.text_q import WINNOW_K, WINNOW_W
+
+    run = " ".join(f"shared{i}" for i in range(WINNOW_K + WINNOW_W - 1))
+    a = "alpha beta gamma " + run + " delta"
+    b = "one two three four five six seven " + run
+    df = spark.createDataFrame(
+        [(1, a, "en", "src0", len(a)), (2, b, "en", "src0", len(b))],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    d = tempfile.mkdtemp(prefix="winnow_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    fps = load_all()["winnow_fingerprint"].fn(spark, d).collect()
+    by_doc = {1: set(), 2: set()}
+    for r in fps:
+        by_doc[r["doc_id"]].add(r["fp"])
+    shared = by_doc[1] & by_doc[2]
+    assert shared, f"no shared fingerprint: {by_doc}"
