@@ -125,7 +125,12 @@ def _extraction_run(pages_path: str, cpus: int, tag: str,
     else:
         raise RuntimeError(f"scale_run {tag} failed twice; stderr above")
     line = [ln for ln in res.stdout.splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    rec = json.loads(line)
+    # a rerun on a host that just showed pressure may be silently slower;
+    # tag it so contaminated samples are identifiable in aggregates
+    if attempt > 1:
+        rec["retried"] = True
+    return rec
 
 
 # warm-up uses the smallest sibling SF of the bench data root (falls back

@@ -370,12 +370,13 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     URL. Capture-free regex passes in a fixed order keep Java and RE2
     byte-identical.
 
-    Scale: the passes are narrow codegen'd maps; the only shuffle is the
-    count window's hash on canon_url. A canonical URL shared by millions
-    of docs (a crawl-loop pathology) concentrates one key — the same
-    MAX_BUCKET discipline as LSH would cap it in a frontier job; here the
-    count IS the requested output, and it is one bigint per row, not a
-    pair expansion."""
+    Scale: the passes are narrow codegen'd maps. The per-URL occurrence
+    count is a groupBy(canon_url).count() joined back — NOT a count
+    window: a window partition sends every row of a hot canonical URL
+    (a crawl-loop pathology, millions of rows on one key) to one task
+    with no combine, while the groupBy gets map-side partial counts so
+    the hot key ships one partial per input partition, and the join back
+    is an equi-join against a table with one row per distinct URL."""
     docs = tbl(spark, sf_dir, "documents")
     e: object = F.expr(_SPARK_URL_INJECT)
     for pat, rep in _URL_PASSES:
@@ -383,13 +384,14 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = F.concat(
         F.lower(F.regexp_extract(e, "^[^/]*//[^/:]*", 0)),
         F.regexp_replace(e, "^[^/]*//[^/:]*", ""))
-    w = Window.partitionBy("canon_url")
-    return (docs.select("doc_id", canon.alias("canon_url"))
-            .select("doc_id", "canon_url",
-                    F.regexp_extract("canon_url", "//([^/:]+)", 1)
-                    .alias("host"))
-            .withColumn("n_same_canon",
-                        F.count("*").over(w).cast("bigint")))
+    c = (docs.select("doc_id", canon.alias("canon_url"))
+         .select("doc_id", "canon_url",
+                 F.regexp_extract("canon_url", "//([^/:]+)", 1)
+                 .alias("host")))
+    counts = c.groupBy("canon_url").agg(
+        F.count("*").cast("bigint").alias("n_same_canon"))
+    return c.join(counts, "canon_url").select(
+        "doc_id", "canon_url", "host", "n_same_canon")
 
 
 # --- deterministic train/val/test split -------------------------------------

@@ -740,8 +740,11 @@ _NORM_PASSES = [
     (r"\r\n", "\n"),                              # CRLF -> LF
     (r"[\x00-\x08\x0B\x0C\x0E-\x1F]", ""),        # strip C0 controls
     (r"[ \t]+", " "),                              # collapse blanks
-    (r"^ +| +$", ""),                              # trim (anchored, no trim()
+    (r"^ +| +\z", ""),                             # trim (anchored, no trim()
 ]                                                  # dialect drift)
+# the trailing-trim anchor is \z (end of TEXT — identical in Java and
+# RE2), not $: Java '$' also matches before a final line terminator
+# while RE2's does not, so 'text   \n' would trim on Spark only.
 
 
 @register(
@@ -802,7 +805,8 @@ WINNOW_W = 4  # grams per window
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     gr AS (SELECT doc_id,
                   list_transform(range(1, len(w) - {WINNOW_K} + 2),
-                    i -> concat_ws(' ', w[i], w[i + 1], w[i + 2])) AS grams
+                    i -> concat_ws(' ', {", ".join(
+                        f"w[i + {j}]" for j in range(WINNOW_K))})) AS grams
            FROM w WHERE len(w) >= {WINNOW_K + WINNOW_W - 1}),
     g AS (SELECT doc_id,
                  unnest(list_transform(range(1, len(grams) + 1),

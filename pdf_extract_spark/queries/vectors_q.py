@@ -25,6 +25,9 @@ from . import register, tbl
 
 N_QUERIES = 5
 K = 10
+EMB_DIM = 64  # fixture embedding width; DuckDB-side dim unrolls derive
+#               from this so a fixture change can't desync the oracles
+#               (the Spark side is dim-agnostic: zip_with / transform)
 
 # --- shared expression snippets (Spark SQL and DuckDB dialects) -----------
 
@@ -72,6 +75,46 @@ def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DUCK_Q = f"(SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES})"
 
+ANN_SALT = 32  # stage-1 partial top-k groups per query
+
+
+def _salted_topk(scored: DataFrame, part_cols: list[str], score_col: str,
+                 tie_col: str, k: int) -> DataFrame:
+    """Exact per-key top-k without funneling the whole scored corpus into
+    one task per key (`Window.partitionBy(qid)` makes ONE task sort all n
+    scored rows of a query — at 10^12 vectors that is one task sorting
+    10^12 rows). Same two-stage salt-group partial top-N proven exact for
+    quota_sample / top_ngrams (tests prove both equal the naive window):
+
+    stage 1 — partial top-k inside each of {ANN_SALT} ``tie_col % salt``
+    groups per key. Any row in the global top-k is necessarily in its
+    salt group's top-k under the same total order (restriction of a total
+    order), so the decomposition is exact, not approximate.
+    stage 2 — row_number over the ≤ salt×k survivors per key.
+
+    Ordering: desc score then asc tie (same total order both stages);
+    stage 1 sorts structs of (negated score, tie) ascending — negation is
+    a sign-bit flip, IEEE-exact to invert. Sizing: per-group state is the
+    salt group's rows, so ANN_SALT both multiplies stage-1 parallelism
+    and divides the per-group buffer; a production job sizes it from
+    corpus/executor-memory (here 32 matches local parallelism)."""
+    staged = (
+        scored
+        .withColumn("_salt", F.pmod(F.col(tie_col), F.lit(ANN_SALT)))
+        .groupBy(*part_cols, "_salt")
+        .agg(F.slice(F.array_sort(F.collect_list(F.struct(
+            (-F.col(score_col)).alias("_ns"),
+            F.col(tie_col).alias("_tb"),
+            F.col(score_col).alias("_sc")))), 1, k).alias("_top"))
+        .select(*part_cols, F.explode("_top").alias("_t"))
+        .select(*part_cols,
+                F.col("_t._tb").alias(tie_col),
+                F.col("_t._sc").alias(score_col)))
+    w = (Window.partitionBy(*part_cols)
+         .orderBy(F.desc(score_col), F.asc(tie_col)))
+    return (staged.withColumn("rn", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rn") <= k))
+
 
 @register(
     "knn_topk",
@@ -103,9 +146,7 @@ def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(f"1.0 / (1.0 + {_spark_l2('qv', 'embedding')})")
                 .alias("score"))
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
-    return (scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
-            .filter(F.col("rn") <= K))
+    return _salted_topk(scored, ["qid"], "score", "vec_id", K)
 
 
 _VARIANTS_CTE = f"""
@@ -150,11 +191,8 @@ def _variant_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / ({_spark_norm('qv')} * {_spark_norm('embedding')})"
             f" + CAST(1.0 AS DOUBLE)) / CAST(2.0 AS DOUBLE)"
         ).alias("score"))
-    w = Window.partitionBy("qid", "variant").orderBy(F.desc("score"),
-                                                     F.asc("vec_id"))
-    return (v1.unionByName(v2)
-            .withColumn("rn", F.row_number().over(w).cast("bigint"))
-            .filter(F.col("rn") <= 20))
+    return _salted_topk(v1.unionByName(v2), ["qid", "variant"],
+                        "score", "vec_id", 20)
 
 
 @register(
@@ -285,9 +323,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"{_spark_dot('qv', 'embedding')}"
                f" / ({_spark_norm('qv')} * {_spark_norm('embedding')})")
         .alias("cos_sim"))
-    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
-            .filter(F.col("rn") <= K))
+    return _salted_topk(scored, ["qid"], "cos_sim", "vec_id", K)
 
 
 # cosine radius: the fixture embeddings are near-orthogonal random vectors
@@ -381,7 +417,7 @@ def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
              CAST(SUM(CAST(embedding[i] AS DECIMAL(18,12))) AS DOUBLE)
                / COUNT(*) AS c
       FROM embeddings
-      CROSS JOIN (SELECT CAST(range AS INT) AS i FROM range(1, 65)) t
+      CROSS JOIN (SELECT CAST(range AS INT) AS i FROM range(1, {EMB_DIM + 1})) t
       GROUP BY label, i),
     centroids AS (
       SELECT label, list(c ORDER BY i) AS cv FROM comp GROUP BY label),
@@ -434,10 +470,34 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQ_OVERSAMPLE = 3  # shortlist 3*K candidates per query before exact rescore
 
-_DUCK_SQ8 = """
+# per-dim (min, max) codebooks keyed by embeddings-file fingerprint — the
+# fit is a model (like the IVF index), not part of the query: refitting on
+# every invocation is an eager driver-side job at plan-construction time,
+# wasted work in a shared session and bench noise (same discipline as
+# _ivf_index_dir's on-disk cache; 128 doubles, so in-process is enough)
+_SQ_CODEBOOK_CACHE: dict[str, list[tuple[float, float]]] = {}
+
+
+def _sq_codebook(spark: SparkSession, sf_dir: str,
+                 emb: DataFrame) -> list[tuple[float, float]]:
+    import os
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = f"{src}|{st.st_size}|{st.st_mtime_ns}"
+    if key not in _SQ_CODEBOOK_CACHE:
+        ex = emb.select(F.posexplode("embedding").alias("p", "v"))
+        stats = (ex.groupBy("p")
+                 .agg(F.min(F.col("v").cast("double")).alias("mn"),
+                      F.max(F.col("v").cast("double")).alias("mx"))
+                 .orderBy("p").collect())
+        _SQ_CODEBOOK_CACHE[key] = [(float(r["mn"]), float(r["mx"]))
+                                   for r in stats]
+    return _SQ_CODEBOOK_CACHE[key]
+
+_DUCK_SQ8 = f"""
     ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
            FROM c CROSS JOIN (SELECT CAST(range AS INT) AS i
-                              FROM range(1, 65)) dims),
+                              FROM range(1, {EMB_DIM + 1})) dims),
     st AS (SELECT i, MIN(v) AS mn, MAX(v) AS mx FROM ex GROUP BY i),
     cq AS (SELECT vec_id, list(q ORDER BY i) AS q8 FROM (
              SELECT e.vec_id, e.i,
@@ -484,7 +544,7 @@ _DUCK_SQ8 = """
           SELECT qq.qid, cq.vec_id,
                  CASE WHEN qq.nsq = 0 OR cq.nsq = 0
                       THEN CAST(-2.0 AS DOUBLE)
-                      ELSE CAST(CAST(list_sum(list_transform(range(1, 65),
+                      ELSE CAST(CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}),
                                i -> (qq.q8[i] - 128) * (cq.q8[i] - 128)))
                              AS BIGINT) AS DOUBLE)
                            / (sqrt(CAST(qq.nsq AS DOUBLE))
@@ -519,7 +579,8 @@ def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the per-dim min/max fit is one n×64-row groupBy (at
     10^12 vectors the codebook would fit on a fixed sample — it is a
     model, like lm_surprisal's LM); the 64-entry stats COLLECT to the
-    driver (128 doubles) and quantization is then a NARROW codegen'd
+    driver ONCE per corpus fingerprint (_sq_codebook cache — 128
+    doubles) and quantization is then a NARROW codegen'd
     transform over the corpus — zero shuffle, no explode. Candidate
     generation is the same broadcast theta-join as ann_cosine_topk but
     streaming 1-byte-per-dim codes instead of 4-byte floats; the rescore
@@ -530,13 +591,9 @@ def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("vec_id", "embedding"))
     q = _queries_df(spark, sf_dir)
 
-    ex = emb.select(F.posexplode("embedding").alias("p", "v"))
-    stats = (ex.groupBy("p")
-             .agg(F.min(F.col("v").cast("double")).alias("mn"),
-                  F.max(F.col("v").cast("double")).alias("mx"))
-             .orderBy("p").collect())  # 64 rows: the codebook is a model
-    mn_arr = F.array(*[F.lit(float(r["mn"])) for r in stats])
-    mx_arr = F.array(*[F.lit(float(r["mx"])) for r in stats])
+    stats = _sq_codebook(spark, sf_dir, emb)  # 64 (mn,mx): model, cached
+    mn_arr = F.array(*[F.lit(mn) for mn, _ in stats])
+    mx_arr = F.array(*[F.lit(mx) for _, mx in stats])
 
     def _quant(col: str) -> object:
         # transform index i is 0-based; literal arrays are 1-based
@@ -567,14 +624,14 @@ def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         " (x, y) -> (x - 128L) * (y - 128L)),"
         " CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)"
         " / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) END")
-    wa = Window.partitionBy("qid").orderBy(F.desc("approx"), F.asc("vec_id"))
-    cand = (F.broadcast(qq.select("qid", F.col("q8").alias("qa"),
-                                  F.col("nsq").alias("qn")))
-            .crossJoin(cq.select("vec_id", F.col("q8").alias("qb"),
-                                 F.col("nsq").alias("cn")))
-            .select("qid", "vec_id", F.expr(approx).alias("approx"))
-            .withColumn("arn", F.row_number().over(wa))
-            .filter(F.col("arn") <= SQ_OVERSAMPLE * K)
+    approx_scored = (
+        F.broadcast(qq.select("qid", F.col("q8").alias("qa"),
+                              F.col("nsq").alias("qn")))
+        .crossJoin(cq.select("vec_id", F.col("q8").alias("qb"),
+                             F.col("nsq").alias("cn")))
+        .select("qid", "vec_id", F.expr(approx).alias("approx")))
+    cand = (_salted_topk(approx_scored, ["qid"], "approx", "vec_id",
+                         SQ_OVERSAMPLE * K)
             .select("qid", "vec_id"))
 
     scored = (F.broadcast(cand)

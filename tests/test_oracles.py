@@ -47,6 +47,14 @@ SMOKE = [
     "top_ngrams",
     "split_contamination",
     "quality_gate",
+    # late-round-3 ops (each has a value-exact oracle; gate them in CI,
+    # not only in ad-hoc check_oracles sweeps)
+    "text_normalize",
+    "winnow_fingerprint",
+    "dedup_paragraph",
+    "lm_surprisal",
+    "domain_gate",
+    "ann_sq_topk",
 ]
 
 

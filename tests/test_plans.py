@@ -646,3 +646,76 @@ def test_winnow_shared_run_guarantee(spark):
         by_doc[r["doc_id"]].add(r["fp"])
     shared = by_doc[1] & by_doc[2]
     assert shared, f"no shared fingerprint: {by_doc}"
+
+
+def test_ann_salted_topk_matches_naive_window(spark):
+    """The salt-group partial top-k (stage-1 groupBy + stage-2 window over
+    survivors) must equal the naive single-window rank — the decomposition
+    is exact, not approximate."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from pdf_extract_spark.queries import load_all, tbl
+    from pdf_extract_spark.queries.vectors_q import (
+        K, N_QUERIES, _queries_df, _spark_dot, _spark_norm)
+
+    got = sorted(map(tuple,
+                     load_all()["ann_cosine_topk"].fn(spark, SF).collect()))
+    emb = (tbl(spark, SF, "embeddings")
+           .filter(F.col("vec_id") >= N_QUERIES)
+           .select("vec_id", "embedding"))
+    scored = F.broadcast(_queries_df(spark, SF)).crossJoin(emb).select(
+        "qid", "vec_id",
+        F.expr(f"{_spark_dot('qv', 'embedding')}"
+               f" / ({_spark_norm('qv')} * {_spark_norm('embedding')})")
+        .alias("cos_sim"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    naive = (scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+             .filter(F.col("rn") <= K))
+    assert got == sorted(map(tuple, naive.collect()))
+
+
+def test_ann_topk_has_no_unsalted_per_qid_window(spark):
+    """The brute-ANN shortlists must not funnel the whole scored corpus
+    into one task per query: stage 1 is a partial (map-side-combining)
+    aggregate on (qid, salt); the only Window runs over its ≤ salt×k
+    survivors. `partial_collect_list` in the plan is the partial stage."""
+    from pdf_extract_spark.queries import load_all
+
+    for name in ("ann_cosine_topk", "knn_topk", "ann_sq_topk"):
+        plan = _plan(load_all()[name].fn(spark, SF))
+        assert "partial_collect_list" in plan, name
+        # the Window input is the exploded survivor set, not the scored
+        # corpus: every Window appears AFTER (above) an ObjectHashAggregate
+        first_window = plan.index("Window")
+        assert "ObjectHashAggregate" in plan[first_window:], name
+
+
+def test_url_canonicalize_counts_via_partial_agg(spark):
+    """The per-URL occurrence count must be a groupBy (map-side partial
+    count) joined back, not a count window that ships every row of a hot
+    canonical URL to one task."""
+    from pdf_extract_spark.queries import load_all
+
+    plan = _plan(load_all()["url_canonicalize"].fn(spark, SF))
+    assert "Window" not in plan
+    assert "partial_count" in plan
+
+
+def test_sq_codebook_cached_no_second_collect(spark, monkeypatch):
+    """The SQ8 codebook is a fitted model: the first invocation per corpus
+    fingerprint collects the 64 (min,max) rows, later invocations must do
+    NO driver-side collect at plan-construction time."""
+    from pyspark.sql import DataFrame
+    from pdf_extract_spark.queries import load_all
+    from pdf_extract_spark.queries import vectors_q
+
+    fn = load_all()["ann_sq_topk"].fn
+    vectors_q._SQ_CODEBOOK_CACHE.clear()
+    fn(spark, SF)  # fit + fill cache (plan construction collects stats)
+    assert len(vectors_q._SQ_CODEBOOK_CACHE) == 1
+
+    def boom(self):
+        raise AssertionError("driver collect during cached construction")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    fn(spark, SF)  # must build the plan from the cached codebook
