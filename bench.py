@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "dedup_embedding_lsh",
     "dedup_embedding_cosine",
     "dedup_simhash",
+    "dedup_simhash_sql",
     "asof_join_events",
     "events_grouping_sets",
     "json_fence_repair",

@@ -783,3 +783,142 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(
                 F.when(F.col("keep"), F.struct("pos", "para")))),
             lambda x: x.para)).alias("clean_text")))
+
+
+# --- relational SimHash (oracle twin of text_q.dedup_simhash) --------------
+# The kernel op (text_q.dedup_simhash) computes simhash in a pandas UDF and
+# is rows-only under the driver gate; this twin re-expresses the WHOLE
+# Manku/Jain/Sarma pipeline relationally so DuckDB replays it value-exact:
+# word-3-shingle features hashed to 64 bits (first 16 hex chars of sha256 —
+# the portable-hash discipline of _SPARK_MH), per-bit majority vote, 4×16-bit
+# banded candidates (Hamming ≤ 3 ⇒ ≥ 1 identical band), bucket-capped pair
+# expansion, and a bit_count(xor) Hamming verify.
+#
+# Fixture note: the word-dropped near-copies (_aug_docs) perturb ~3 of ~28
+# features — at that feature count the per-bit majority margin is small and
+# simhash legitimately lands them well above Hamming 3 (simhash is a
+# LARGE-document sketch; Manku's k=3 assumes thousands of features), so the
+# planted-and-guaranteed pairs here are EXACT copies (doc_id+2_000_000,
+# Hamming 0); near-copies appear only if genuinely close. Both engines
+# replay the same decision, so parity is exact either way.
+
+SIMHASH_SQL_HAM = 3  # Manku et al. k: pairs within this Hamming distance
+_HEXD = "0123456789abcdef"
+
+_DUCK_SIMAUG = f"""
+    simaug AS (
+      SELECT doc_id, text FROM aug
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text
+      FROM documents WHERE doc_id % 10 = 5)
+"""
+
+
+@register(
+    "dedup_simhash_sql",
+    oracle=f"""
+    WITH {_DUCK_AUG},
+    {_DUCK_SIMAUG},
+    sh AS (SELECT doc_id, {_duck_shingles(3)} AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM simaug) s),
+    sig AS (SELECT doc_id, sh FROM sh WHERE len(sh) > 0),
+    ex AS (SELECT doc_id, substr(sha256(s), 1, 16) AS h
+           FROM (SELECT doc_id, unnest(sh) AS s FROM sig) t),
+    bits AS (SELECT doc_id, CAST(js.j AS INT) AS j,
+                    ((instr('{_HEXD}', substr(h, CAST(js.j // 4 AS INT) + 1, 1)) - 1)
+                     >> (3 - (CAST(js.j AS INT) % 4))) & 1 AS v
+             FROM ex CROSS JOIN (SELECT range AS j FROM range(0, 64)) js),
+    votes AS (SELECT doc_id, j,
+                     CASE WHEN 2 * SUM(v) > COUNT(*) THEN 1 ELSE 0 END AS bit
+              FROM bits GROUP BY doc_id, j),
+    nibs AS (SELECT doc_id, j // 4 AS p,
+                    SUM(bit << (3 - (j % 4))) AS nib
+             FROM votes GROUP BY doc_id, j // 4),
+    chs AS (SELECT doc_id, p,
+                   substr('{_HEXD}', CAST(nib AS INT) + 1, 1) AS ch
+            FROM nibs),
+    sim AS (SELECT doc_id, string_agg(ch, '' ORDER BY p) AS simhash
+            FROM chs GROUP BY doc_id),
+    bands AS (SELECT doc_id, simhash, bs.b,
+                     substr(simhash, 1 + 4 * CAST(bs.b AS INT), 4) AS band_key
+              FROM sim CROSS JOIN (SELECT range AS b FROM range(0, 4)) bs),
+    bg AS (SELECT *, COUNT(*) OVER (PARTITION BY b, band_key) AS bn
+           FROM bands),
+    cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+                    x.simhash AS a_sim, y.simhash AS b_sim
+             FROM bg x JOIN bg y
+               ON x.b = y.b AND x.band_key = y.band_key
+              AND x.doc_id < y.doc_id
+             WHERE x.bn <= {MAX_BUCKET}),
+    ham AS (SELECT a_id, b_id, a_sim, b_sim,
+                   CAST(list_sum(list_transform(range(1, 17), p ->
+                     bit_count(xor(
+                       instr('{_HEXD}', substr(a_sim, CAST(p AS INT), 1)) - 1,
+                       instr('{_HEXD}', substr(b_sim, CAST(p AS INT), 1)) - 1))))
+                     AS BIGINT) AS hamming
+            FROM cand)
+    SELECT a_id, b_id, a_sim, b_sim, hamming
+    FROM ham WHERE hamming <= {SIMHASH_SQL_HAM}
+    """,
+)
+def dedup_simhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup as a RELATIONAL operator (kernel twin:
+    text_q.dedup_simhash): 64-bit per-bit-majority simhash over sha256'd
+    word 3-shingles, 4×16-bit band buckets (MAX_BUCKET-capped before the
+    O(bucket²) expansion), exact Hamming ≤ {SIMHASH_SQL_HAM} verify via
+    bit_count(xor) over the 16 nibbles.
+
+    Scale shape: the signature build is a linear ×64 bit explode with
+    map-side partial SUM/COUNT aggregation (never a pair expansion);
+    candidates come from the band groupBy + capped in-array expansion
+    (the dedup_minhash_lsh discipline); the Hamming verify is a narrow
+    map over candidate rows only. No cross join anywhere."""
+    exact = (tbl(spark, sf_dir, "documents")
+             .filter(F.col("doc_id") % 10 == 5)
+             .select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text"))
+    simaug = _aug_docs(spark, sf_dir).unionByName(exact)
+    sig = (simaug.withColumn("w", F.split("text", " "))
+           .filter(F.size("w") >= 3)
+           .select("doc_id", F.expr(_spark_shingles(3)).alias("sh")))
+    ex = explode_ne(sig, ["doc_id"],
+                    F.expr("transform(sh, s -> substring(sha2(s, 256), 1, 16))"),
+                    "h")
+    bits = ex.select("doc_id", F.posexplode(F.expr(
+        f"transform(sequence(0, 63), j ->"
+        f" shiftright(instr('{_HEXD}', substring(h, (j div 4) + 1, 1)) - 1,"
+        f" 3 - (j % 4)) & 1)")).alias("j", "v"))
+    votes = bits.groupBy("doc_id", "j").agg(
+        F.expr("CASE WHEN 2 * SUM(v) > COUNT(*) THEN 1 ELSE 0 END")
+        .alias("bit"))
+    nibs = (votes.groupBy("doc_id", F.expr("j div 4").alias("p"))
+            .agg(F.expr("SUM(shiftleft(bit, 3 - (j % 4)))").alias("nib")))
+    chs = nibs.select(
+        "doc_id", "p",
+        F.expr(f"substring('{_HEXD}', CAST(nib AS INT) + 1, 1)").alias("ch"))
+    sim = chs.groupBy("doc_id").agg(F.expr(
+        "array_join(transform(array_sort(collect_list(struct(p, ch))),"
+        " x -> x.ch), '')").alias("simhash"))
+    bands = sim.select(
+        "doc_id", "simhash",
+        F.posexplode(F.expr(
+            "transform(sequence(0, 3),"
+            " b -> substring(simhash, 1 + 4 * b, 4))")).alias("b", "band_key"))
+    buckets = (bands.groupBy("b", "band_key")
+               .agg(F.array_sort(F.collect_list(
+                   F.struct("doc_id", "simhash"))).alias("ids"))
+               .filter((F.size("ids") >= 2) & (F.size("ids") <= MAX_BUCKET)))
+    pair_expr = (
+        "flatten(transform(sequence(1, size(ids) - 1), i -> "
+        "transform(slice(ids, i + 1, size(ids) - i), "
+        "y -> struct(element_at(ids, i).doc_id AS a_id, y.doc_id AS b_id, "
+        "element_at(ids, i).simhash AS a_sim, y.simhash AS b_sim))))"
+    )
+    cand = (explode_ne(buckets, [], F.expr(pair_expr), "p")
+            .select("p.a_id", "p.b_id", "p.a_sim", "p.b_sim")
+            .distinct())
+    ham = F.expr(
+        f"CAST(aggregate(sequence(1, 16), 0, (acc, p) -> acc + bit_count("
+        f"(instr('{_HEXD}', substring(a_sim, p, 1)) - 1)"
+        f" ^ (instr('{_HEXD}', substring(b_sim, p, 1)) - 1))) AS BIGINT)")
+    return (cand.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= SIMHASH_SQL_HAM))

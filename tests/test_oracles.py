@@ -55,6 +55,7 @@ SMOKE = [
     "lm_surprisal",
     "domain_gate",
     "ann_sq_topk",
+    "dedup_simhash_sql",  # round-4 relational twin of the simhash kernel
 ]
 
 

@@ -719,3 +719,22 @@ def test_sq_codebook_cached_no_second_collect(spark, monkeypatch):
 
     monkeypatch.setattr(DataFrame, "collect", boom)
     fn(spark, SF)  # must build the plan from the cached codebook
+
+
+def test_dedup_simhash_sql_finds_exact_plants(spark):
+    """Every planted exact copy (doc_id%10==5 → +2_000_000) must pair with
+    its original at Hamming 0; everything reported is within the radius."""
+    from pdf_extract_spark.queries import load_all, tbl
+    from pyspark.sql import functions as F
+    from pdf_extract_spark.queries.dedup_q import SIMHASH_SQL_HAM
+
+    rows = load_all()["dedup_simhash_sql"].fn(spark, SF).collect()
+    assert rows and all(r["hamming"] <= SIMHASH_SQL_HAM for r in rows)
+    planted = {(r["a_id"], r["b_id"]): r["hamming"] for r in rows
+               if r["b_id"] == r["a_id"] + 2_000_000}
+    expected = (tbl(spark, SF, "documents")
+                .filter((F.col("doc_id") % 10 == 5)
+                        & (F.size(F.split("text", " ")) >= 3))
+                .count())
+    assert len(planted) == expected
+    assert all(h == 0 for h in planted.values())
