@@ -1,0 +1,726 @@
+"""Fused corpus-preparation pipeline: the engine's end-to-end product.
+
+One resumable job composing the operators the query registry proves
+correct in isolation (reference lifecycle analog: main.py:8-55 /
+modules/graphs.py:12-71 run the reference's whole agent graph end to end;
+this is the corpus-scale equivalent over Common-Crawl-style pages):
+
+    extract      pages(html binary) -> text           (operators/extract)
+    clean        control-char normalize + PII scrub    (text_q/pipeline_q twins)
+    gate         per-doc quality + domain reputation   (doc_quality/domain_gate)
+    dedup_para   corpus-wide paragraph dedup (CCNet/C4, dedup_q.dedup_paragraph)
+    dedup_doc    exact + MinHash-LSH near-dup clusters  (dedup_q suite)
+    split        deterministic train/val/test + decontamination flags
+    pack         fixed-budget sequence packing of the train split
+
+Stage-granular commit protocol (same discipline as plans/pipeline.py, at
+stage rather than run granularity): each stage writes its output tables
+under ``<out>/stages/<name>/`` and is COMMITTED only when its lineage row
+set — counts + order-insensitive digest — appears at
+``<out>/lineage/<name>.parquet`` via an atomic rename. On (re)start, any
+stage directory without its lineage file is a crashed partial write and
+is deleted wholesale; committed stages are never recomputed — a rerun
+after a kill converges to the byte-identical final corpus digest
+(test-gated in tests/test_corpus_job.py, including a kill between the
+data write and the commit marker, the worst crash point).
+
+Production-hash discipline: the isolated registry queries pay sha256 per
+gram/paragraph so DuckDB can replay them value-exactly; this job is the
+production path and uses xxhash64 (JVM intrinsic, ~20x cheaper per gram)
+for every grouping/sketch key. Where a 64-bit collision would MERGE
+distinct content (paragraph keys, exact-dup keys at 10^12-row scale), a
+second independent xxhash64 (seed-prefixed) widens the key to 128 bits;
+where a collision only perturbs a sketch (minhash permutations, band
+keys, contamination grams) a single hash is the standard construction.
+
+Scale notes (the 100 TB shapes, per stage, all verified on .explain):
+- extract: Arrow-batched mapInPandas decode after a salted url-hash
+  repartition (the north rule's skew clause) — the only Python in the job.
+- clean: one narrow whole-stage-codegen projection (regex passes fused).
+- gate: per-doc signals are narrow; the domain table is one
+  groupBy(domain) with map-side partials, rejoined BY BROADCAST (the
+  web's host count is ~10^8 — a few GB of (domain, verdict); beyond
+  that the join key equals the agg key and co-partitions).
+- dedup_para: 3 bounded shuffles (groupBy(parahash) min, equi-join back,
+  groupBy(url) reassembly); hot paragraphs (cookie banners in 10^6 docs)
+  collapse map-side to one partial per task — no pair expansion exists.
+- dedup_doc: exact pass is one groupBy(fullhash); near-dup pass is
+  banded MinHash with the MAX_BUCKET degenerate-bucket cap, Jaccard
+  verify only on candidate pairs, then O(log n)-round large/small-star
+  contraction (the 10^12-node component path) — never all-pairs.
+- split: pure narrow hash map; decontamination is the strictly linear
+  inverted-index shape (train grams distinct-ed BEFORE the semi-join).
+- pack: two-level distributed prefix sum — the only unpartitioned window
+  runs over |train|/PACK_CHUNK^2 rows (metadata scale at any corpus).
+
+Materialization boundaries are the stage writes themselves: narrow ops
+are FUSED into one pass (clean = normalize+scrub; split = assignment+
+decontam flags) and a stage boundary exists only where the next stage
+needs corpus-wide state (gates need domain aggregates, dedup needs the
+global key space) or where resumability is worth the write (extract).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..operators.extract import extract_text
+from ..queries.text_q import _NORM_PASSES
+from ..queries.pipeline_q import _PAT_EMAIL, _PAT_IP, _PAT_PHONE
+from .pipeline import _is_torn_parquet, _sum_digest
+
+STAGES = ("extract", "clean", "gate", "dedup_para", "dedup_doc",
+          "split", "pack")
+
+QUAR_SCHEMA = "url string, stage string, error string"
+LINEAGE_SCHEMA = ("stage string, n_in long, n_out long, n_quarantined long, "
+                  "digest string")
+
+# near-dup parameters — same family as queries/dedup_q.py (cited there:
+# Broder minhashing; MAX_BUCKET cap for degenerate boilerplate buckets)
+SHINGLE_N = 3
+N_PERM = 8
+N_BANDS = 4  # 2 permutations per band
+MAX_BUCKET = 64
+JACCARD_T = 0.5
+CONTAM_N = 8  # words per decontamination gram (GPT-3 appendix C scale op)
+PACK_BUDGET = 2048  # tokens per packed training sequence
+PACK_CHUNK = 4096  # docs per prefix-sum range (see queries/pipeline_q.seq_pack)
+
+_WORD_SEP = "[ \n]+"  # tokens span paragraph breaks
+
+
+class CorpusJobInterrupted(RuntimeError):
+    """Raised by the fail_after test hook at the worst crash point of a
+    stage: data written, commit marker not yet published."""
+
+
+# --- per-stage transforms (pure DataFrame -> DataFrame; no I/O) -------------
+
+def _doc_key() -> F.Column:
+    """Fixed-width orderable document key: 16-hex-char two's-complement
+    xxhash64(url). Lexicographic order on it == unsigned numeric order, so
+    MIN() hash-aggregates with map-side partials (no struct-min
+    SortAggregate — the round-3 argmin discipline). Winner choice between
+    near-dup docs is arbitrary-but-deterministic, so hash order is as good
+    as url order and far cheaper to shuffle."""
+    return F.lpad(F.hex(F.xxhash64("url")), 16, "0")
+
+
+def clean_docs(docs: DataFrame) -> DataFrame:
+    """Normalize (CRLF/C0/blank-run/trim passes, text_q._NORM_PASSES) then
+    scrub PII (email/IPv4/phone -> typed placeholders, pipeline_q patterns)
+    in ONE narrow projection — both ops are per-row regex maps, so fusing
+    them avoids a full-corpus materialization between them. Whole-stage
+    codegen, no shuffle, runs at scan speed."""
+    e: object = F.col("text")
+    for pat, rep in _NORM_PASSES:
+        e = F.regexp_replace(e, pat, rep)
+    n_pii = (
+        F.size(F.regexp_extract_all(e, F.lit(_PAT_EMAIL), F.lit(0)))
+        + F.size(F.regexp_extract_all(e, F.lit(_PAT_IP), F.lit(0)))
+        + F.size(F.regexp_extract_all(e, F.lit(_PAT_PHONE), F.lit(0)))
+    ).cast("bigint")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(e, _PAT_EMAIL, "<EMAIL>"),
+            _PAT_IP, "<IP>"),
+        _PAT_PHONE, "<PHONE>")
+    return docs.select(
+        "url", "warc_ts", "lang",
+        scrubbed.alias("text"),
+        n_pii.alias("n_pii"),
+    ).withColumn("text_sha", F.sha2("text", 256))
+
+
+def gate_docs(docs: DataFrame) -> DataFrame:
+    """Quality + domain-reputation gate, returning every doc with a
+    ``keep`` verdict and first-failing ``reject_reason`` (rule order fixed:
+    length, repetition, domain) — the C4/Gopher composite the registry
+    proves piecewise (doc_quality / doc_repetition / domain_gate).
+
+    Per-doc signals are narrow; the domain reputation table is ONE
+    groupBy(domain) with constant-size agg state (count + distinct-sha
+    rewrites to a two-level agg) re-joined by broadcast. A domain hosting
+    10% of the crawl is safe: no pair expansion, partial aggregation
+    collapses it map-side."""
+    w = F.split("text", _WORD_SEP)
+    sig = docs.withColumn("n_chars", F.length("text").cast("bigint")) \
+        .withColumn("n_words", F.size(w).cast("bigint")) \
+        .withColumn("n_distinct_words",
+                    F.size(F.array_distinct(w)).cast("bigint")) \
+        .withColumn("domain",
+                    F.regexp_extract("url", "^[a-z]+://([^/:]+)", 1))
+    dom = sig.groupBy("domain").agg(
+        F.count("*").cast("bigint").alias("dom_docs"),
+        F.countDistinct("text_sha").cast("bigint").alias("dom_distinct"))
+    dom = dom.select(
+        "domain", "dom_docs",
+        ((F.col("dom_docs") - F.col("dom_distinct")).cast("double")
+         / F.col("dom_docs").cast("double")).alias("dom_dup_frac"))
+    frac_dup = F.expr("CAST(1.0 AS DOUBLE)"
+                      " - CAST(n_distinct_words AS DOUBLE) / n_words")
+    reason = (
+        F.when((F.col("n_chars") < 20) | (F.col("n_chars") > 2_000_000),
+               "length")
+        .when(frac_dup > 0.9, "repetitive")
+        .when(F.col("dom_dup_frac") > 0.5, "domain_duplication")
+    )
+    return (sig.join(F.broadcast(dom), "domain")
+            .withColumn("reject_reason", reason)
+            .withColumn("keep", F.col("reject_reason").isNull())
+            .select("url", "warc_ts", "lang", "text", "text_sha",
+                    "n_words", "domain", "dom_dup_frac",
+                    "keep", "reject_reason"))
+
+
+def dedup_paragraphs(docs: DataFrame) -> DataFrame:
+    """Corpus-wide paragraph dedup with reassembly (CCNet Wenzek et al.
+    2020 / C4 Raffel et al. 2020; registry twin: dedup_q.dedup_paragraph,
+    which the DuckDB oracle proves value-exact at query scale): every
+    ``\\n\\n``-delimited paragraph keeps only its FIRST corpus-wide
+    occurrence (min (doc_key, pos)); each doc is reassembled from its
+    survivors in original order.
+
+    Keys are 128-bit (two independent xxhash64) so identical-key merges of
+    DISTINCT paragraphs are birthday-impossible at 10^12 paragraphs; the
+    argmin is a fixed-width-string MIN (hash-aggregates with map-side
+    partials — a banner in 10^6 docs ships one partial per task).
+    3 bounded shuffles total; collect_list state is bounded by one
+    document's own length."""
+    w = docs.select(
+        "url", "warc_ts", "lang", "text_sha",
+        F.split("text", "\n\n").alias("paras"),
+        _doc_key().alias("doc_key"))
+    ex = (w.select("url", F.posexplode_outer("paras").alias("pos", "para"),
+                   "doc_key")
+          .filter(F.col("para").isNotNull())
+          .withColumn("h1", F.xxhash64("para"))
+          .withColumn("h2", F.xxhash64(F.lit(1), "para"))
+          .withColumn("enc", F.concat(
+              "doc_key", F.lpad(F.col("pos").cast("string"), 9, "0"))))
+    firsts = ex.groupBy("h1", "h2").agg(F.min("enc").alias("f_enc"))
+    sel = (ex.join(firsts, ["h1", "h2"])
+           .withColumn("keep", F.col("enc") == F.col("f_enc")))
+    rebuilt = sel.groupBy("url").agg(
+        F.count("*").cast("bigint").alias("n_paras"),
+        F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_kept"),
+        F.concat_ws("\n\n", F.transform(
+            F.array_sort(F.collect_list(
+                F.when(F.col("keep"), F.struct("pos", "para")))),
+            lambda s: s.para)).alias("text"))
+    return (docs.select("url", "warc_ts", "lang")
+            .join(rebuilt, "url")
+            .withColumn("text_sha", F.sha2("text", 256)))
+
+
+def _shingle_sets(docs: DataFrame) -> DataFrame:
+    """(url, doc_key, shingles) with shingles = distinct word SHINGLE_N-grams.
+    Docs shorter than SHINGLE_N words get no row (they cannot near-dup)."""
+    joined = ", ".join(
+        f"element_at(w, i + {j + 1})" for j in range(SHINGLE_N))
+    expr = (f"array_distinct(transform(sequence(0, size(w) - {SHINGLE_N}),"
+            f" i -> concat_ws(' ', {joined})))")
+    return (docs
+            .withColumn("w", F.split("text", _WORD_SEP))
+            .filter(F.size("w") >= SHINGLE_N)
+            .select("url", _doc_key().alias("doc_key"),
+                    F.expr(expr).alias("shingles")))
+
+
+def near_dup_pairs(docs: DataFrame) -> DataFrame:
+    """(a_url, b_url) pairs with shingle-Jaccard >= JACCARD_T, found by
+    banded MinHash LSH — the production-hash twin of the oracled
+    dedup_q.dedup_minhash_lsh (xxhash64 permutations instead of
+    min-over-sha256; same band/bucket/verify shape, same caps).
+
+    Scale: candidates come from a groupBy(band_key) with the MAX_BUCKET
+    degenerate-bucket cap applied BEFORE the in-array pair expansion, and
+    the Jaccard verify joins shingle postings restricted to candidate
+    docs only — no self-join of the full corpus ever happens."""
+    mh_terms = ", ".join(
+        f"array_min(transform(shingles, s -> xxhash64({j}, s)))"
+        for j in range(N_PERM))
+    sig = (_shingle_sets(docs)
+           .select("url", "doc_key", "shingles",
+                   F.expr(f"array({mh_terms})").alias("mh"))
+           .persist())  # bands + verify-a + verify-b + sizes subtrees
+    try:
+        bands = sig.select(
+            "url",
+            F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("b"),
+            F.expr("concat(element_at(mh, 2 * b + 1), ':',"
+                   " element_at(mh, 2 * b + 2))").alias("band_key"))
+        buckets = (bands.groupBy("b", "band_key")
+                   .agg(F.array_sort(F.collect_list("url")).alias("ids"))
+                   .filter((F.size("ids") >= 2)
+                           & (F.size("ids") <= MAX_BUCKET)))
+        pair_expr = (
+            "flatten(transform(sequence(1, size(ids) - 1), i -> "
+            "transform(slice(ids, i + 1, size(ids) - i), "
+            "y -> struct(element_at(ids, i) AS a_url, y AS b_url))))")
+        cand = (buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+                .select("p.a_url", "p.b_url").distinct())
+        # verify on hashed shingles (fixed-width bigint shuffle keys),
+        # postings restricted to candidate docs before the join
+        cand_docs = (cand.select(F.col("a_url").alias("url"))
+                     .unionByName(cand.select(F.col("b_url").alias("url")))
+                     .distinct())
+        ex = (sig.join(cand_docs, "url", "left_semi")
+              .select("url", F.explode("shingles").alias("s"))
+              .select("url", F.xxhash64("s").alias("g")))
+        sizes = sig.select("url", F.size("shingles").cast("bigint").alias("n"))
+        common = (cand.join(ex.select(F.col("url").alias("a_url"), "g"),
+                            "a_url")
+                  .join(ex.select(F.col("url").alias("b_url"), "g"),
+                        ["b_url", "g"])
+                  .groupBy("a_url", "b_url")
+                  .agg(F.count("*").alias("n_common")))
+        jac = F.expr("CAST(n_common AS DOUBLE) / (sa_n + sb_n - n_common)")
+        out = (common
+               .join(sizes.select(F.col("url").alias("a_url"),
+                                  F.col("n").alias("sa_n")), "a_url")
+               .join(sizes.select(F.col("url").alias("b_url"),
+                                  F.col("n").alias("sb_n")), "b_url")
+               .select("a_url", "b_url", jac.alias("jaccard"))
+               .filter(F.col("jaccard") >= JACCARD_T))
+        return out.localCheckpoint(eager=True)
+    finally:
+        sig.unpersist()
+
+
+def dedup_documents(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Document-level dedup: exact pass (128-bit text hash groupBy, one
+    shuffle, winner = min doc_key) then MinHash-LSH near-dup pairs over
+    the exact survivors, contracted to clusters by alternating
+    large/small-star (dedup_q.connected_components_star — O(log n)
+    rounds, the 10^12-node path; property-tested equal to hash-to-min).
+    Returns (kept_docs, dropped) with dropped = (url, error) naming each
+    drop's canonical survivor — the quarantine row a user audits."""
+    keyed = (docs.withColumn("k1", F.xxhash64("text"))
+             .withColumn("k2", F.xxhash64(F.lit(1), "text"))
+             .withColumn("doc_key", _doc_key()))
+    winners = keyed.groupBy("k1", "k2").agg(F.min("doc_key").alias("w_key"))
+    tagged = keyed.join(winners, ["k1", "k2"])
+    exact_kept = (tagged.filter(F.col("doc_key") == F.col("w_key"))
+                  .drop("k1", "k2", "doc_key", "w_key"))
+    # name the survivor url for the audit row (join winners' key -> url)
+    key_url = keyed.select("doc_key", F.col("url").alias("w_url"))
+    exact_dropped = (tagged.filter(F.col("doc_key") != F.col("w_key"))
+                     .select("url", F.col("w_key").alias("doc_key"))
+                     .join(key_url, "doc_key")
+                     .select("url",
+                             F.concat(F.lit("exact_duplicate_of:"),
+                                      "w_url").alias("error")))
+
+    pairs = near_dup_pairs(exact_kept)
+    from ..queries.dedup_q import connected_components_star
+    labels = connected_components_star(
+        pairs.select(F.col("a_url").alias("a_id"),
+                     F.col("b_url").alias("b_id")))
+    near_dropped = (labels.filter(F.col("node") != F.col("label"))
+                    .select(F.col("node").alias("url"),
+                            F.concat(F.lit("near_duplicate_of:"),
+                                     "label").alias("error")))
+    kept = exact_kept.join(near_dropped.select("url"), "url", "left_anti")
+    dropped = exact_dropped.unionByName(near_dropped)
+    return kept, dropped
+
+
+def split_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic train/val/test assignment (12/2/2 of 16 xxhash64
+    buckets on a salted url hash — content-independent, so re-extraction
+    never migrates a doc across splits) fused with benchmark
+    decontamination flags: for every NON-train doc, the fraction of its
+    distinct CONTAM_N-grams that occur anywhere in the train split
+    (GPT-3 appendix C / PaLM discipline; registry twin
+    split_contamination).
+
+    Scale: assignment is a pure narrow map. Decontamination is strictly
+    linear — train grams are hashed (bigint), distinct-ed BEFORE the join
+    (a boilerplate gram in 10^6 train docs is ONE build row), then one
+    equi-join + groupBy(url). No pair expansion anywhere."""
+    b = F.pmod(F.xxhash64(F.concat(F.lit("split#"), F.col("url"))),
+               F.lit(16))
+    s = docs.withColumn(
+        "split",
+        F.when(b < 12, "train").when(b < 14, "val").otherwise("test"))
+    joined = ", ".join(
+        f"element_at(w, i + {j + 1})" for j in range(CONTAM_N))
+    grams = (f"CASE WHEN size(w) >= {CONTAM_N} THEN "
+             f"array_distinct(transform(sequence(0, size(w) - {CONTAM_N}),"
+             f" i -> xxhash64(concat_ws(' ', {joined}))))"
+             f" ELSE array() END")
+    sig = (s.withColumn("w", F.split("text", _WORD_SEP))
+           .select("url", "split", F.expr(grams).alias("grams"))
+           .persist())  # train-gram subtree + eval-gram subtree
+    try:
+        train_g = (sig.filter(F.col("split") == "train")
+                   .select(F.explode("grams").alias("g")).distinct())
+        eval_ex = (sig.filter(F.col("split") != "train")
+                   .select("url", F.explode("grams").alias("g")))
+        hits = (eval_ex.join(train_g, "g")
+                .groupBy("url").agg(F.count("*").alias("n_contam")))
+        frac = (sig.filter(F.col("split") != "train")
+                .select("url", F.size("grams").cast("bigint")
+                        .alias("n_grams"))
+                .join(hits, "url", "left")
+                .select("url",
+                        F.when(F.col("n_grams") > 0,
+                               F.coalesce("n_contam", F.lit(0))
+                               .cast("double") / F.col("n_grams")
+                               .cast("double"))
+                        .otherwise(F.lit(0.0)).alias("contam_frac")))
+        out = (s.join(frac, "url", "left")
+               .withColumn("contam_frac",
+                           F.coalesce("contam_frac", F.lit(0.0)))
+               .select("url", "warc_ts", "lang", "text", "text_sha",
+                       "split", "contam_frac"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        sig.unpersist()
+
+
+def pack_train(docs: DataFrame, approx_n: int) -> DataFrame:
+    """Sequence packing of the train split: concatenate documents in
+    url-hash order and slice into PACK_BUDGET-token training sequences;
+    output maps every doc to each sequence it intersects, with its token
+    interval clipped to the sequence (registry twin: pipeline_q.seq_pack,
+    whose oracle proves the construction value-exact over dense ids).
+
+    The global exclusive prefix sum uses the same TWO-LEVEL distributed
+    shape as seq_pack, but over hash order: ord = xxhash64(url) is the
+    concatenation order (uniform, so fixed bit-prefix ranges hold ~equal
+    doc counts); pid = the top ceil(log2(n/PACK_CHUNK)) bits of ord
+    (arithmetic shift — order-preserving on signed bigints); range sums
+    roll up into super-ranges of PACK_CHUNK pids. The only unpartitioned
+    window runs over |train|/PACK_CHUNK^2 rows. ``approx_n`` comes from
+    the previous stage's lineage count — a count the runner already has,
+    never a fresh corpus scan."""
+    train = (docs.filter(F.col("split") == "train")
+             .select("url",
+                     F.size(F.split("text", _WORD_SEP)).cast("bigint")
+                     .alias("n_tok"),
+                     F.xxhash64("url").alias("ord")))
+    n_ranges = max(1, (max(1, approx_n) + PACK_CHUNK - 1) // PACK_CHUNK)
+    bits = max(1, min(40, (n_ranges - 1).bit_length()))
+    d = train.withColumn("pid", F.shiftright("ord", 64 - bits))
+    psums = (d.groupBy("pid").agg(F.sum("n_tok").alias("ptok"))
+             .withColumn("spid", F.expr(f"pid DIV {PACK_CHUNK}")))
+    wsuper = (Window.orderBy("spid")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    s_pref = (psums.groupBy("spid").agg(F.sum("ptok").alias("stok"))
+              .select("spid",
+                      F.coalesce(F.sum("stok").over(wsuper), F.lit(0))
+                      .alias("sprefix")))
+    wrange = (Window.partitionBy("spid").orderBy("pid")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    prefixes = (psums.join(F.broadcast(s_pref), "spid")
+                .select("pid", (F.col("sprefix")
+                                + F.coalesce(F.sum("ptok").over(wrange),
+                                             F.lit(0))).alias("prefix")))
+    wlocal = (Window.partitionBy("pid").orderBy("ord", "url")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    c = (d.join(prefixes, "pid")
+         .withColumn("off", F.col("prefix")
+                     + F.coalesce(F.sum("n_tok").over(wlocal), F.lit(0))))
+    B = PACK_BUDGET
+    s = (c.filter(F.col("n_tok") > 0)
+         .select("url", "n_tok", "off",
+                 F.explode(F.sequence(
+                     F.expr(f"off DIV {B}"),
+                     F.expr(f"(off + n_tok - 1) DIV {B}"))).alias("seq_id")))
+    return s.select(
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        "url",
+        F.greatest("off", F.expr(f"seq_id * {B}")).cast("bigint")
+        .alias("tok_begin"),
+        F.least(F.expr("off + n_tok"), F.expr(f"(seq_id + 1) * {B}"))
+        .cast("bigint").alias("tok_end"))
+
+
+# --- stage runner: commit protocol + resume ---------------------------------
+
+def _stage_dir(out_dir: str, stage: str) -> str:
+    return os.path.join(out_dir, "stages", stage)
+
+
+def _lineage_path(out_dir: str, stage: str) -> str:
+    return os.path.join(out_dir, "lineage", f"{stage}.parquet")
+
+
+def _publish_stage_lineage(out_dir: str, stage: str, n_in: int, n_out: int,
+                           n_quar: int, digest: str) -> None:
+    """Atomic commit marker: one tiny parquet file, temp-write +
+    os.replace (POSIX-atomic rename; an Iceberg writer folds this into
+    the table transaction — see plans/pipeline.IcebergRunWriter)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tab = pa.table({
+        "stage": [stage],
+        "n_in": [int(n_in)], "n_out": [int(n_out)],
+        "n_quarantined": [int(n_quar)], "digest": [digest],
+    })
+    os.makedirs(os.path.join(out_dir, "lineage"), exist_ok=True)
+    tmp = os.path.join(out_dir, f"_lineage_tmp_{stage}.parquet")
+    pq.write_table(tab, tmp)
+    os.replace(tmp, _lineage_path(out_dir, stage))
+
+
+def _read_stage_lineage(out_dir: str, stage: str) -> dict | None:
+    """None if the stage is uncommitted. A torn lineage file (crash inside
+    the publish itself) is removed — its stage is uncommitted by
+    definition; an unreadable-but-not-provably-torn file aborts (same
+    refusal discipline as plans/pipeline._committed_run_ids)."""
+    path = _lineage_path(out_dir, stage)
+    if not os.path.exists(path):
+        return None
+    import pyarrow.parquet as pq
+    try:
+        t = pq.read_table(path)
+    except Exception as e:
+        if _is_torn_parquet(path):
+            os.remove(path)
+            return None
+        raise RuntimeError(
+            f"stage lineage {path} unreadable but not provably torn "
+            f"({e!r}); refusing to resume") from e
+    return {k: t.column(k)[0].as_py() for k in t.column_names}
+
+
+def _docs_count_digest(spark: SparkSession, docs_dir: str) -> tuple[int, str]:
+    """(row count, order-insensitive digest) over (url, text_sha) in ONE
+    column-pruned re-read of the rows just committed (2 thin columns; the
+    full text is scanned exactly once, by the stage that wrote it)."""
+    df = spark.read.parquet(docs_dir).select("url", "text_sha")
+    row = df.agg(
+        F.count("*").alias("n"),
+        _sum_digest(
+            "sha2(concat_ws('|', url, coalesce(text_sha, '0')), 256)")
+        .alias("d")).collect()[0]
+    return row["n"], row["d"]
+
+
+def _empty_quarantine(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], QUAR_SCHEMA)
+
+
+def _quarantine_dir(out_dir: str, stage: str) -> str:
+    return os.path.join(_stage_dir(out_dir, stage), "quarantine")
+
+
+def run_corpus_prep(
+    spark: SparkSession,
+    out_dir: str,
+    pages: DataFrame | None = None,
+    num_partitions: int | None = None,
+    fail_after: str | None = None,
+) -> dict:
+    """Run (or resume) the fused corpus-preparation pipeline.
+
+    ``pages`` is required only when the extract stage is not yet
+    committed. ``fail_after`` is the crash-injection test hook: raise
+    CorpusJobInterrupted after the named stage's DATA is fully written
+    but BEFORE its commit marker — the worst crash point, which resume
+    must treat as 'stage never happened'.
+
+    Returns {"stages": {name: {...}}, "n_docs": int, "wall_s": float}.
+    """
+    t_job = time.monotonic()
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+
+    # crash cleanup: a stage directory without its commit marker is a
+    # partial write (committer v2 exposes task files as tasks finish)
+    for stage in STAGES:
+        sdir = _stage_dir(out_dir, stage)
+        if os.path.isdir(sdir) and _read_stage_lineage(out_dir, stage) is None:
+            shutil.rmtree(sdir, ignore_errors=True)
+    if os.path.isdir(out_dir):
+        for name in os.listdir(out_dir):
+            if name.startswith("_lineage_tmp_"):
+                os.remove(os.path.join(out_dir, name))
+
+    stats: dict = {"stages": {}}
+    prev_docs: DataFrame | None = None
+    prev_n: int = 0
+
+    def _commit_docs_stage(stage: str, docs_out: DataFrame,
+                           quar: DataFrame,
+                           n_in: int | None) -> tuple[DataFrame, int]:
+        """Write docs+quarantine, then publish lineage (the commit).
+        Returns the READ-BACK docs (downstream stages consume the
+        committed table, decoupling their plans from this stage's).
+        ``n_in=None`` derives the input count as n_out + n_quarantined
+        (the extract stage, whose input would otherwise need a second
+        full scan of the pages table just to count it)."""
+        sdir = _stage_dir(out_dir, stage)
+        docs_dir = os.path.join(sdir, "docs")
+        docs_out.write.mode("overwrite").parquet(docs_dir)
+        quar.write.mode("overwrite").parquet(_quarantine_dir(out_dir, stage))
+        if fail_after == stage:
+            raise CorpusJobInterrupted(stage)
+        n_quar = (spark.read.schema(QUAR_SCHEMA)
+                  .parquet(_quarantine_dir(out_dir, stage)).count())
+        committed = spark.read.parquet(docs_dir)
+        n_out, digest = _docs_count_digest(spark, docs_dir)
+        if n_in is None:
+            n_in = n_out + n_quar
+        _publish_stage_lineage(out_dir, stage, n_in, n_out, n_quar, digest)
+        stats["stages"][stage] = {
+            "status": "ran", "n_in": n_in, "n_out": n_out,
+            "n_quarantined": n_quar, "digest": digest}
+        return committed, n_out
+
+    def _skip(stage: str, lin: dict) -> tuple[DataFrame, int]:
+        stats["stages"][stage] = {**{k: lin[k] for k in
+                                     ("n_in", "n_out", "n_quarantined",
+                                      "digest")},
+                                  "status": "skipped"}
+        docs_dir = os.path.join(_stage_dir(out_dir, stage), "docs")
+        return spark.read.parquet(docs_dir), lin["n_out"]
+
+    # --- extract ---
+    lin = _read_stage_lineage(out_dir, "extract")
+    if lin is not None:
+        prev_docs, prev_n = _skip("extract", lin)
+    else:
+        if pages is None:
+            raise ValueError("extract stage uncommitted and pages=None")
+        ext = extract_text(pages, num_partitions=num_partitions)
+        ok = (ext.filter(F.col("error").isNull())
+              .select("url", "warc_ts", "lang", "text",
+                      F.col("text_sha256").alias("text_sha")))
+        quar = (ext.filter(F.col("error").isNotNull())
+                .select("url", F.lit("extract").alias("stage"), "error"))
+        prev_docs, prev_n = _commit_docs_stage("extract", ok, quar,
+                                               n_in=None)
+
+    # --- clean ---
+    lin = _read_stage_lineage(out_dir, "clean")
+    if lin is not None:
+        prev_docs, prev_n = _skip("clean", lin)
+    else:
+        cleaned = clean_docs(prev_docs)
+        ok = cleaned.filter(F.length(F.col("text")) > 0)
+        quar = (cleaned.filter(F.length(F.col("text")) == 0)
+                .select("url", F.lit("clean").alias("stage"),
+                        F.lit("empty_after_normalize").alias("error")))
+        prev_docs, prev_n = _commit_docs_stage("clean", ok, quar, prev_n)
+
+    # --- gate ---
+    lin = _read_stage_lineage(out_dir, "gate")
+    if lin is not None:
+        prev_docs, prev_n = _skip("gate", lin)
+    else:
+        gated = gate_docs(prev_docs)
+        ok = (gated.filter(F.col("keep"))
+              .select("url", "warc_ts", "lang", "text", "text_sha",
+                      "n_words", "domain"))
+        quar = (gated.filter(~F.col("keep"))
+                .select("url", F.lit("gate").alias("stage"),
+                        F.col("reject_reason").alias("error")))
+        prev_docs, prev_n = _commit_docs_stage("gate", ok, quar, prev_n)
+
+    # --- dedup_para ---
+    lin = _read_stage_lineage(out_dir, "dedup_para")
+    if lin is not None:
+        prev_docs, prev_n = _skip("dedup_para", lin)
+    else:
+        rebuilt = dedup_paragraphs(prev_docs)
+        ok = rebuilt.filter(F.col("n_kept") > 0)
+        quar = (rebuilt.filter(F.col("n_kept") == 0)
+                .select("url", F.lit("dedup_para").alias("stage"),
+                        F.lit("all_paragraphs_duplicate").alias("error")))
+        prev_docs, prev_n = _commit_docs_stage("dedup_para", ok, quar, prev_n)
+
+    # --- dedup_doc ---
+    lin = _read_stage_lineage(out_dir, "dedup_doc")
+    if lin is not None:
+        prev_docs, prev_n = _skip("dedup_doc", lin)
+    else:
+        kept, dropped = dedup_documents(prev_docs)
+        quar = dropped.select("url", F.lit("dedup_doc").alias("stage"),
+                              "error")
+        prev_docs, prev_n = _commit_docs_stage("dedup_doc", kept, quar,
+                                               prev_n)
+
+    # --- split ---
+    lin = _read_stage_lineage(out_dir, "split")
+    if lin is not None:
+        prev_docs, prev_n = _skip("split", lin)
+    else:
+        prev_docs, prev_n = _commit_docs_stage(
+            "split", split_docs(prev_docs), _empty_quarantine(spark), prev_n)
+
+    # --- pack (aux output table: sequences, not docs) ---
+    lin = _read_stage_lineage(out_dir, "pack")
+    if lin is not None:
+        stats["stages"]["pack"] = {
+            **{k: lin[k] for k in ("n_in", "n_out", "n_quarantined",
+                                   "digest")},
+            "status": "skipped"}
+    else:
+        sdir = _stage_dir(out_dir, "pack")
+        seq_dir = os.path.join(sdir, "sequences")
+        pack_train(prev_docs, approx_n=prev_n) \
+            .write.mode("overwrite").parquet(seq_dir)
+        if fail_after == "pack":
+            raise CorpusJobInterrupted("pack")
+        committed = spark.read.parquet(seq_dir)
+        row = committed.agg(
+            F.count("*").alias("n"),
+            _sum_digest("sha2(concat_ws('|', seq_id, url, tok_begin,"
+                        " tok_end), 256)").alias("d")).collect()[0]
+        _publish_stage_lineage(out_dir, "pack", prev_n, row["n"], 0,
+                               row["d"])
+        stats["stages"]["pack"] = {
+            "status": "ran", "n_in": prev_n, "n_out": row["n"],
+            "n_quarantined": 0, "digest": row["d"]}
+
+    stats["n_docs"] = prev_n
+    stats["wall_s"] = round(time.monotonic() - t_job, 3)
+    return stats
+
+
+# --- readers over a finished job ---------------------------------------------
+
+def corpus(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The final document table (split-stage output: url, warc_ts, lang,
+    text, text_sha, split, contam_frac)."""
+    return spark.read.parquet(
+        os.path.join(_stage_dir(out_dir, "split"), "docs"))
+
+
+def sequences(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The packed training-sequence map (seq_id, url, tok_begin, tok_end)."""
+    return spark.read.parquet(
+        os.path.join(_stage_dir(out_dir, "pack"), "sequences"))
+
+
+def quarantine_all(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Union of every stage's quarantine rows (url, stage, error)."""
+    out = _empty_quarantine(spark)
+    for stage in STAGES:
+        qdir = _quarantine_dir(out_dir, stage)
+        if os.path.isdir(qdir):
+            out = out.unionByName(
+                spark.read.schema(QUAR_SCHEMA).parquet(qdir))
+    return out
+
+
+def job_digest(out_dir: str) -> str:
+    """Combined commit-marker digest of the two published tables (final
+    corpus + sequence map) — what the kill-and-resume test compares. Read
+    from the stage lineage, not recomputed: the markers ARE the audit."""
+    split_lin = _read_stage_lineage(out_dir, "split")
+    pack_lin = _read_stage_lineage(out_dir, "pack")
+    if split_lin is None or pack_lin is None:
+        raise RuntimeError("job not fully committed")
+    return f"{split_lin['digest']}:{pack_lin['digest']}"

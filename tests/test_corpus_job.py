@@ -1,0 +1,215 @@
+"""End-to-end tests for the fused corpus-preparation job
+(plans/corpus.py): planted duplicates flow to the right stage's
+quarantine, kill-and-resume converges to the identical final digest
+without recomputing committed stages, and the packed sequence map equals
+a naive single-window reference."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extract_spark.plans.corpus import (
+    CorpusJobInterrupted,
+    corpus,
+    dedup_documents,
+    job_digest,
+    quarantine_all,
+    run_corpus_prep,
+    sequences,
+    PACK_BUDGET,
+)
+
+N_SYNTH = 240
+N_PAIRS = 8
+TS = dt.datetime(2024, 5, 1, tzinfo=dt.timezone.utc)
+
+
+def _para(pair: int, perturbed: bool) -> str:
+    # 60 unique-ish words per pair; the perturbed copy changes one word in
+    # the middle -> 3-gram Jaccard ~ 55/61 >> 0.5, but the paragraph TEXT
+    # differs, so both copies survive corpus-wide paragraph dedup and the
+    # pair must be caught by the document-level MinHash pass.
+    words = [f"tok{pair}w{k}" for k in range(60)]
+    if perturbed:
+        words[30] = f"CHANGED{pair}"
+    return " ".join(words)
+
+
+def _planted_rows():
+    rows = []
+    for p in range(N_PAIRS):
+        for tag, pert in (("a", False), ("b", True)):
+            html = (f"<html><body><article><h2>planted {p}{tag}</h2>"
+                    f"<p>{_para(p, pert)}</p></article>"
+                    "</body></html>").encode()
+            rows.append((f"https://plant{p}.example.com/{tag}", TS, html,
+                         None, "en"))
+    return rows
+
+
+def _pages(spark):
+    from pdf_extract_spark.sources.synth_pages import synth_pages
+    base = synth_pages(spark, N_SYNTH, partitions=8)
+    planted = spark.createDataFrame(
+        _planted_rows(),
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string")
+    return base.unionByName(planted)
+
+
+@pytest.fixture(scope="module")
+def job(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("corpus") / "job")
+    stats = run_corpus_prep(spark, out, pages=_pages(spark),
+                            num_partitions=16)
+    return out, stats
+
+
+def test_all_stages_ran_and_accounted(job, spark):
+    out, stats = job
+    assert [s for s in stats["stages"]] == [
+        "extract", "clean", "gate", "dedup_para", "dedup_doc", "split",
+        "pack"]
+    for name, s in stats["stages"].items():
+        assert s["status"] == "ran"
+        if name not in ("extract", "pack"):
+            # conservation: docs in = docs out + quarantined
+            assert s["n_in"] == s["n_out"] + s["n_quarantined"], name
+    assert stats["stages"]["extract"]["n_in"] == N_SYNTH + 2 * N_PAIRS
+    # adversarial synth pages (empty/truncated/non-utf8) must be in
+    # quarantine, not silently dropped
+    q = {r["error"] for r in quarantine_all(spark, out).collect()}
+    assert {"empty_payload", "truncated_pdf", "invalid_utf8"} <= q
+
+
+def test_planted_near_dups_collapse(job, spark):
+    out, _ = job
+    final_urls = {r["url"] for r in corpus(spark, out).select("url").collect()}
+    quar = {r["url"]: r for r in quarantine_all(spark, out).collect()}
+    for p in range(N_PAIRS):
+        a = f"https://plant{p}.example.com/a"
+        b = f"https://plant{p}.example.com/b"
+        kept = {a, b} & final_urls
+        assert len(kept) == 1, f"pair {p}: expected exactly one survivor"
+        lost = ({a, b} - kept).pop()
+        row = quar[lost]
+        assert row["stage"] == "dedup_doc"
+        assert row["error"] == f"near_duplicate_of:{kept.pop()}"
+
+
+def test_exact_dup_pass_unit(spark):
+    # the exact pass inside dedup_documents (in the fused job it is a
+    # safety net behind paragraph dedup; standalone it must catch
+    # byte-identical docs in one groupBy)
+    docs = spark.createDataFrame(
+        [("u1", TS, "en", "same text here", "s"),
+         ("u2", TS, "en", "same text here", "s"),
+         ("u3", TS, "en", "completely different words", "d")],
+        "url string, warc_ts timestamp, lang string, text string, "
+        "text_sha string")
+    kept, dropped = dedup_documents(docs)
+    kept_urls = {r["url"] for r in kept.collect()}
+    drops = {r["url"]: r["error"] for r in dropped.collect()}
+    assert "u3" in kept_urls
+    assert len({"u1", "u2"} & kept_urls) == 1
+    (lost,) = {"u1", "u2"} - kept_urls
+    assert drops[lost].startswith("exact_duplicate_of:")
+
+
+def test_split_deterministic_and_flagged(job, spark):
+    out, _ = job
+    c = corpus(spark, out)
+    splits = {r["split"] for r in c.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"}
+    # content-independence: split depends on url alone
+    from pyspark.sql import functions as FF
+    r = c.select(
+        "url", "split",
+        FF.when(FF.pmod(FF.xxhash64(FF.concat(FF.lit("split#"),
+                                              FF.col("url"))), FF.lit(16))
+                < 12, "train")
+        .when(FF.pmod(FF.xxhash64(FF.concat(FF.lit("split#"),
+                                            FF.col("url"))), FF.lit(16))
+              < 14, "val").otherwise("test").alias("expect"))
+    assert r.filter(FF.col("split") != FF.col("expect")).count() == 0
+    # train rows carry contam_frac 0; eval rows are in [0, 1]
+    assert c.filter((F.col("split") == "train")
+                    & (F.col("contam_frac") != 0.0)).count() == 0
+    assert c.filter((F.col("contam_frac") < 0)
+                    | (F.col("contam_frac") > 1)).count() == 0
+
+
+def test_pack_equals_naive_window(job, spark):
+    out, _ = job
+    from pyspark.sql.window import Window
+    train = (corpus(spark, out).filter(F.col("split") == "train")
+             .select("url",
+                     F.size(F.split("text", "[ \n]+")).cast("bigint")
+                     .alias("n_tok"),
+                     F.xxhash64("url").alias("ord")))
+    w = Window.orderBy("ord", "url").rowsBetween(
+        Window.unboundedPreceding, -1)
+    naive = (train.withColumn(
+        "off", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+        .filter(F.col("n_tok") > 0)
+        .select("url", "n_tok", "off",
+                F.explode(F.sequence(
+                    F.expr(f"off DIV {PACK_BUDGET}"),
+                    F.expr(f"(off + n_tok - 1) DIV {PACK_BUDGET}")))
+                .alias("seq_id"))
+        .select(F.col("seq_id").cast("bigint").alias("seq_id"), "url",
+                F.greatest("off", F.expr(f"seq_id * {PACK_BUDGET}"))
+                .cast("bigint").alias("tok_begin"),
+                F.least(F.expr("off + n_tok"),
+                        F.expr(f"(seq_id + 1) * {PACK_BUDGET}"))
+                .cast("bigint").alias("tok_end")))
+    got = {tuple(r) for r in sequences(spark, out).collect()}
+    want = {tuple(r) for r in naive.collect()}
+    assert got == want
+    # every sequence except the last is exactly PACK_BUDGET tokens
+    per_seq = (sequences(spark, out).groupBy("seq_id")
+               .agg(F.sum(F.col("tok_end") - F.col("tok_begin"))
+                    .alias("tok")).collect())
+    last = max(r["seq_id"] for r in per_seq)
+    for r in per_seq:
+        if r["seq_id"] != last:
+            assert r["tok"] == PACK_BUDGET
+
+
+def test_kill_and_resume_identical(spark, tmp_path, job):
+    out_ref, ref_stats = job
+    out = str(tmp_path / "resumed")
+    # crash at the worst point of `gate`: data written, marker missing
+    with pytest.raises(CorpusJobInterrupted):
+        run_corpus_prep(spark, out, pages=_pages(spark),
+                        num_partitions=16, fail_after="gate")
+    # the crashed stage's partial data is visible on disk, uncommitted
+    assert os.path.isdir(os.path.join(out, "stages", "gate"))
+    assert not os.path.exists(os.path.join(out, "lineage", "gate.parquet"))
+    marker = os.path.join(out, "lineage", "clean.parquet")
+    mtime_before = os.path.getmtime(marker)
+
+    stats = run_corpus_prep(spark, out, pages=_pages(spark),
+                            num_partitions=16)
+    # committed stages skipped, crashed stage recomputed
+    assert stats["stages"]["extract"]["status"] == "skipped"
+    assert stats["stages"]["clean"]["status"] == "skipped"
+    assert stats["stages"]["gate"]["status"] == "ran"
+    assert os.path.getmtime(marker) == mtime_before
+    # converges to the byte-identical published tables
+    assert job_digest(out) == job_digest(out_ref)
+    # and per-stage lineage agrees with the uninterrupted run
+    for name, s in stats["stages"].items():
+        ref = ref_stats["stages"][name]
+        assert (s["n_out"], s["n_quarantined"], s["digest"]) == \
+            (ref["n_out"], ref["n_quarantined"], ref["digest"]), name
+
+
+def test_rerun_of_complete_job_is_all_skips(spark, job):
+    out, _ = job
+    stats = run_corpus_prep(spark, out, pages=None, num_partitions=16)
+    assert all(s["status"] == "skipped" for s in stats["stages"].values())
