@@ -80,6 +80,11 @@ BENCH_QUERIES = [
     "text_normalize",
     "winnow_fingerprint",
     "dedup_paragraph",
+    # production-hash (xxhash64) fast paths vs their sha oracle twins —
+    # the delta is the per-gram hash cost the oracle-parity discipline pays
+    "winnow_fingerprint_xx",
+    "dedup_paragraph_xx",
+    "dedup_substring_xx",
 ]
 
 

@@ -707,9 +707,7 @@ _DUCK_PARA_RAW = ("'cookie notice v' || CAST(doc_id % 5 AS VARCHAR)"
                   " || ' accept terms continue ' || text")
 
 
-@register(
-    "dedup_paragraph",
-    oracle=f"""
+_PARA_ORACLE_SQL = f"""
     WITH raw AS (SELECT doc_id, string_split({_DUCK_PARA_RAW}, ' ') AS w
                  FROM documents),
     ex AS (SELECT doc_id, u.pos AS pos, u.para AS para FROM (
@@ -732,9 +730,12 @@ _DUCK_PARA_RAW = ("'cookie notice v' || CAST(doc_id % 5 AS VARCHAR)"
            COALESCE(string_agg(para, ' ' ORDER BY pos)
                       FILTER (WHERE keep), '') AS clean_text
     FROM sel GROUP BY doc_id
-    """,
-)
-def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+@register("dedup_paragraph", oracle=_PARA_ORACLE_SQL)
+def dedup_paragraph(spark: SparkSession, sf_dir: str,
+                    hash_fn: str = "sha") -> DataFrame:
     """CCNet/C4-style corpus-wide paragraph dedup: hash every {PARA_W}-word
     paragraph, keep only its FIRST occurrence (min (doc_id, pos) across
     the whole corpus), reassemble each doc from the survivors in original
@@ -753,7 +754,15 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot express: removal INSIDE surviving documents. The up-front
     repartition fans the single-file fixture scan out before the
     paragraph/sha build (the _aug_docs discipline; real crawl tables
-    have data-determined split counts)."""
+    have data-determined split counts).
+
+    ``hash_fn``: "sha" (default) keys paragraphs by sha256 — the DuckDB
+    oracle's portable hash; "xx" is the production path, keying by TWO
+    independent xxhash64s (128 bits total — at 10^12 paragraphs a 64-bit
+    key would see birthday collisions, and a collision here silently
+    DELETES a paragraph). The key never reaches the output, so both
+    variants return byte-identical rows (test-gated at sf0.001), and the
+    xx variant shares the sha oracle verbatim."""
     docs = (tbl(spark, sf_dir, "documents").select("doc_id", "text")
             .repartition(spark.sparkContext.defaultParallelism, "doc_id"))
     w = docs.select("doc_id",
@@ -765,7 +774,13 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = (explode_ne(w, ["doc_id"], paras, "u")
           .select("doc_id", F.col("u.pos").alias("pos"),
                   F.col("u.para").alias("para"))
-          .withColumn("h", F.sha2("para", 256))
+          # xx path: lpad keeps each half fixed-width 16 so the concat is
+          # an unambiguous 128-bit key (hex() drops leading zeros)
+          .withColumn("h", F.sha2("para", 256) if hash_fn == "sha"
+                      else F.concat(
+                          F.lpad(F.hex(F.xxhash64("para")), 16, "0"),
+                          F.lpad(F.hex(F.xxhash64(F.lit(1), "para")),
+                                 16, "0")))
           # fixed-width string encoding of (doc_id, pos): lexicographic
           # min == numeric-tuple min, and a STRING min hash-aggregates
           # with map-side partials (min over a struct falls back to
@@ -783,6 +798,17 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(
                 F.when(F.col("keep"), F.struct("pos", "para")))),
             lambda x: x.para)).alias("clean_text")))
+
+
+@register("dedup_paragraph_xx", oracle=_PARA_ORACLE_SQL)
+def dedup_paragraph_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-hash paragraph dedup: same plan as dedup_paragraph but
+    keyed by a 128-bit double-xxhash64 instead of sha256 (~20× cheaper
+    per paragraph; the fused job's choice, plans/corpus.py). The key is
+    internal, so the output is byte-identical to the sha variant — this
+    entry shares dedup_paragraph's DuckDB oracle verbatim, making the
+    fast path value-exact under the driver gate, not just rows-only."""
+    return dedup_paragraph(spark, sf_dir, hash_fn="xx")
 
 
 # --- relational SimHash (oracle twin of text_q.dedup_simhash) --------------

@@ -242,9 +242,7 @@ SUBSTR_N = 8  # words per gram (the fixture docs are ~30 words; real
 #              pipelines use 50-token grams — the shape is identical)
 
 
-@register(
-    "dedup_substring",
-    oracle=f"""
+_SUBSTR_ORACLE_SQL = f"""
     WITH {_DUCK_AUG},
     sh AS (
       SELECT doc_id, {_duck_shingles(SUBSTR_N)} AS grams
@@ -261,9 +259,12 @@ SUBSTR_N = 8  # words per gram (the fixture docs are ~30 words; real
            CAST(COALESCE(h.n_dup_grams, 0) AS DOUBLE)
              / CAST(len(sig.grams) AS DOUBLE) AS dup_frac
     FROM sig LEFT JOIN hits h ON h.doc_id = sig.doc_id
-    """,
-)
-def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+@register("dedup_substring", oracle=_SUBSTR_ORACLE_SQL)
+def dedup_substring(spark: SparkSession, sf_dir: str,
+                    hash_fn: str = "text") -> DataFrame:
     """Duplicated-substring detection (ExactSubstr-style, Lee et al.
     "Deduplicating Training Data Makes Language Models Better"): for each
     doc, how many of its distinct {SUBSTR_N}-word grams also occur in at
@@ -275,7 +276,15 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     one groupBy(gram) marking grams with ≥2 distinct docs, one semi-join
     back, one groupBy(doc). No pair expansion exists anywhere, so no
     MAX_POSTING cap is needed — a boilerplate gram shared by 10^6 docs
-    contributes 10^6 join rows (linear in its postings), not 10^12."""
+    contributes 10^6 join rows (linear in its postings), not 10^12.
+
+    ``hash_fn``: "text" (default) shuffles the raw {SUBSTR_N}-word gram
+    strings — what the DuckDB oracle replays; "xx" pre-hashes each gram
+    to a 128-bit double-xxhash64 key before the groupBy/join, so shuffle
+    rows are fixed 32 chars instead of ~50-400 bytes of gram text (the
+    dominant shuffle-volume term at 50-token production grams). The key
+    is internal — both variants return identical rows — so the xx entry
+    shares this oracle verbatim."""
     aug = _aug_docs(spark, sf_dir)
     sig = (aug.withColumn("w", F.split("text", " "))
            .filter(F.size("w") >= SUBSTR_N)
@@ -284,6 +293,12 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
            .persist())  # 2 downstream subtrees (ex, sizes)
     try:
         ex = sig.select("doc_id", F.explode("grams").alias("g"))
+        if hash_fn == "xx":
+            # lpad keeps each half fixed-width 16: unambiguous 128-bit key
+            ex = ex.select("doc_id", F.concat(
+                F.lpad(F.hex(F.xxhash64("g")), 16, "0"),
+                F.lpad(F.hex(F.xxhash64(F.lit(1), "g")), 16, "0"))
+                .alias("g"))
         dupg = (ex.groupBy("g")
                 .agg(F.countDistinct("doc_id").alias("nd"))
                 .filter(F.col("nd") >= 2).select("g"))
@@ -302,6 +317,16 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         sig.unpersist()
+
+
+@register("dedup_substring_xx", oracle=_SUBSTR_ORACLE_SQL)
+def dedup_substring_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-hash substring dedup: dedup_substring with grams
+    pre-hashed to 128-bit double-xxhash64 keys before the shuffle (fixed
+    32-char shuffle rows vs raw gram text). The key never reaches the
+    output, so this entry shares dedup_substring's DuckDB oracle
+    verbatim — value-exact under the driver gate."""
+    return dedup_substring(spark, sf_dir, hash_fn="xx")
 
 
 # --- URL canonicalization ----------------------------------------------------

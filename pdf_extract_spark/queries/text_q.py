@@ -828,7 +828,8 @@ WINNOW_W = 4  # grams per window
     FROM sel WHERE rn = 1
     """,
 )
-def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def winnow_fingerprint(spark: SparkSession, sf_dir: str,
+                       hash_fn: str = "sha") -> DataFrame:
     """Winnowing (Schleimer, Wilkerson, Aiken, SIGMOD 2003): positional
     {WINNOW_K}-gram hashes, rightmost-minimum selection per sliding
     {WINNOW_W}-window, distinct (doc, pos, fp) output. The plagiarism/
@@ -851,7 +852,17 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SortAggregate), while a string min is a HashAggregate whose partial
     agg collapses the ×{WINNOW_W} rows map-side with no sort anywhere.
     Positions are bounded by 10^9-1 words/doc (any real document is
-    orders of magnitude under this)."""
+    orders of magnitude under this).
+
+    ``hash_fn`` selects the gram hash: "sha" (default) is the
+    oracle-parity sha256 prefix, portable to DuckDB; "xx" is the
+    production path — xxhash64 is a JVM intrinsic (~20× cheaper per gram
+    than sha256's MessageDigest) rendered as 16 lowercase hex chars, so
+    lexicographic order == unsigned numeric order and every downstream
+    expression is hash-agnostic. Winnowing only needs a hash that acts
+    as a random order on grams; tests/test_plans.py proves both variants
+    select exactly the rightmost-minimum winnow of their hash sequence
+    and both honor the shared-run guarantee."""
     docs = (tbl(spark, sf_dir, "documents")
             .select("doc_id", "text")
             .repartition(spark.sparkContext.defaultParallelism, "doc_id"))
@@ -863,10 +874,15 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr(f"transform(sequence(0, size(w) - {WINNOW_K}),"
                f" i -> concat_ws(' ', {joined}))").alias("grams"))
+    if hash_fn == "sha":
+        fp_expr = F.substring(F.sha2("gram", 256), 1, 16)
+    elif hash_fn == "xx":
+        fp_expr = F.lower(F.lpad(F.hex(F.xxhash64("gram")), 16, "0"))
+    else:  # pragma: no cover - guarded misuse
+        raise ValueError(f"hash_fn must be 'sha' or 'xx', got {hash_fn!r}")
     g = (gr.select("doc_id", F.size("grams").alias("ng"),
                    F.posexplode("grams").alias("pos", "gram"))
-         .select("doc_id", "ng", "pos",
-                 F.substring(F.sha2("gram", 256), 1, 16).alias("fp")))
+         .select("doc_id", "ng", "pos", fp_expr.alias("fp")))
     win = explode_ne(
         g, ["doc_id", "pos", "fp"],
         F.expr(f"sequence(greatest(0, pos - {WINNOW_W} + 1),"
@@ -880,3 +896,17 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("pos"),
         F.substring("m", 1, 16).alias("fp"))
         .distinct())
+
+
+@register("winnow_fingerprint_xx")  # rows-only: xxhash64 has no DuckDB twin
+def winnow_fingerprint_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-hash winnowing: identical plan to winnow_fingerprint but
+    grams are hashed with the xxhash64 JVM intrinsic instead of the
+    sha256 the DuckDB oracle needs (dedup_q.py:12 — xxhash64 has no
+    DuckDB equivalent, so this entry is rows-only by construction; the
+    sha twin keeps the value-exact oracle). Fingerprint VALUES differ by
+    design — winnowing's guarantees are hash-agnostic, and the selection
+    logic is proven permutation-equivalent in tests/test_plans.py
+    (local-reference winnow equality for BOTH hash functions, plus the
+    shared-run guarantee on the xx path)."""
+    return winnow_fingerprint(spark, sf_dir, hash_fn="xx")

@@ -584,13 +584,21 @@ def test_ann_sq_topk_recall_vs_brute(spark):
 
 def test_ann_sq_quantization_is_narrow(spark):
     """After the 64-row codebook collect, corpus quantization must be a
-    narrow codegen'd transform: no explode/shuffle between the embeddings
-    scan and the integer-dot candidate join (the only Exchange below the
-    candidate window is the window's own hash on qid)."""
+    narrow codegen'd transform: no explode between the embeddings scan
+    and the integer-dot scoring projection. The ONE Generate the plan may
+    contain is the salt-group shortlist's bounded ``explode(_top)`` —
+    reassembly of per-(qid, salt) top-N lists whose size is capped by the
+    shortlist width, introduced when the per-qid corpus-wide window sort
+    was replaced by the two-stage partial top-k (round 4)."""
+    import re
+
     from pdf_extract_spark.queries import load_all
 
     plan = _plan(load_all()["ann_sq_topk"].fn(spark, SF))
-    assert "Generate" not in plan, f"explode leaked into the plan:\n{plan}"
+    gens = re.findall(r"Generate (\w+)\(([^,)]*)", plan)
+    for fn_name, arg in gens:
+        assert fn_name == "explode" and arg.startswith("_top"), \
+            f"unexpected Generate {fn_name}({arg}) in plan:\n{plan}"
     assert "SortMergeJoin" not in plan
 
 
@@ -646,6 +654,112 @@ def test_winnow_shared_run_guarantee(spark):
         by_doc[r["doc_id"]].add(r["fp"])
     shared = by_doc[1] & by_doc[2]
     assert shared, f"no shared fingerprint: {by_doc}"
+
+
+def _local_winnow(fps: list, w: int) -> set:
+    """Reference winnow: per sliding w-window keep the RIGHTMOST minimal
+    hash; return the distinct (pos, fp) selections."""
+    sel = set()
+    for wn in range(0, len(fps) - w + 1):
+        window = fps[wn:wn + w]
+        m = min(window)
+        pos = wn + max(i for i in range(w) if window[i] == m)
+        sel.add((pos, fps[pos]))
+    return sel
+
+
+@pytest.mark.parametrize("hash_fn", ["sha", "xx"])
+def test_winnow_selection_matches_local_reference(spark, hash_fn):
+    """Permutation-equivalence of the hash fast path: for EITHER hash
+    function, the distributed query must select exactly the winnow of
+    that hash sequence — the fixed-width-string argmin encoding and the
+    window expansion are hash-agnostic. The xx fingerprints are computed
+    through the same Spark expression (xxhash64 is JVM-only), the sha
+    ones independently via hashlib, so the sha case also cross-checks
+    Spark's sha2 against CPython."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pdf_extract_spark.queries.text_q import (
+        WINNOW_K, WINNOW_W, winnow_fingerprint)
+
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    docs = []
+    for d in range(4):
+        # tiny vocabulary → many repeated grams → min-ties exercise the
+        # rightmost-wins rule
+        words = [vocab[(i * i + 3 * d + i // 7) % len(vocab)]
+                 for i in range(30 + 5 * d)]
+        docs.append((d, " ".join(words)))
+
+    d = tempfile.mkdtemp(prefix=f"winnow_ref_{hash_fn}_")
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    got = {}
+    for r in winnow_fingerprint(spark, d, hash_fn=hash_fn).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+
+    for doc_id, text in docs:
+        words = text.split(" ")
+        grams = [" ".join(words[i:i + WINNOW_K])
+                 for i in range(len(words) - WINNOW_K + 1)]
+        if hash_fn == "sha":
+            fps = [hashlib.sha256(g.encode()).hexdigest()[:16]
+                   for g in grams]
+        else:
+            rows = (spark.createDataFrame(
+                list(enumerate(grams)), "i long, gram string")
+                .select("i", F.lower(F.lpad(
+                    F.hex(F.xxhash64("gram")), 16, "0")).alias("fp"))
+                .collect())
+            fps = [r["fp"] for r in sorted(rows, key=lambda r: r["i"])]
+        expect = _local_winnow(fps, WINNOW_W)
+        assert got.get(doc_id, set()) == expect, (doc_id, hash_fn)
+
+
+def test_winnow_xx_shared_run_guarantee_and_no_sha(spark):
+    """The production-hash variant keeps winnowing's defining guarantee
+    (shared run of >= K+W-1 words ⇒ shared fingerprint) and its plan
+    contains no sha256 — the whole point of the fast path."""
+    import os
+    import tempfile
+
+    from pdf_extract_spark.queries import load_all
+    from pdf_extract_spark.queries.text_q import WINNOW_K, WINNOW_W
+
+    run = " ".join(f"shared{i}" for i in range(WINNOW_K + WINNOW_W - 1))
+    a = "alpha beta gamma " + run + " delta"
+    b = "one two three four five six seven " + run
+    df = spark.createDataFrame(
+        [(1, a, "en", "src0", len(a)), (2, b, "en", "src0", len(b))],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    d = tempfile.mkdtemp(prefix="winnow_xx_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    q = load_all()["winnow_fingerprint_xx"].fn(spark, d)
+    assert "sha2" not in _plan(q).lower()
+    by_doc = {1: set(), 2: set()}
+    for r in q.collect():
+        by_doc[r["doc_id"]].add(r["fp"])
+    assert by_doc[1] & by_doc[2], f"no shared fingerprint: {by_doc}"
+
+
+@pytest.mark.parametrize("name", ["dedup_paragraph", "dedup_substring"])
+def test_hash_fast_path_output_invariant(spark, name):
+    """dedup_paragraph_xx / dedup_substring_xx key their shuffles by
+    double-xxhash64 instead of sha256/raw text, but the key is internal:
+    outputs must be byte-identical to the oracle-parity variant."""
+    from pdf_extract_spark.queries import load_all
+
+    reg = load_all()
+    base = sorted(map(tuple, reg[name].fn(spark, SF).collect()))
+    fast = sorted(map(tuple, reg[f"{name}_xx"].fn(spark, SF).collect()))
+    assert base == fast
 
 
 def test_ann_salted_topk_matches_naive_window(spark):
