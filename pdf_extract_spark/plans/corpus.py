@@ -550,6 +550,14 @@ def run_corpus_prep(
     stats: dict = {"stages": {}}
     prev_docs: DataFrame | None = None
     prev_n: int = 0
+    t_stage = [time.monotonic()]  # per-stage wall clock (scaling forensics:
+    #                               which stage stops scaling names the
+    #                               bottleneck, tools/corpus_scale_run.py)
+
+    def _stamp(stage: str) -> None:
+        now = time.monotonic()
+        stats["stages"][stage]["wall_s"] = round(now - t_stage[0], 3)
+        t_stage[0] = now
 
     def _commit_docs_stage(stage: str, docs_out: DataFrame,
                            quar: DataFrame,
@@ -576,6 +584,7 @@ def run_corpus_prep(
         stats["stages"][stage] = {
             "status": "ran", "n_in": n_in, "n_out": n_out,
             "n_quarantined": n_quar, "digest": digest}
+        _stamp(stage)
         return committed, n_out
 
     def _skip(stage: str, lin: dict) -> tuple[DataFrame, int]:
@@ -583,6 +592,7 @@ def run_corpus_prep(
                                      ("n_in", "n_out", "n_quarantined",
                                       "digest")},
                                   "status": "skipped"}
+        _stamp(stage)
         docs_dir = os.path.join(_stage_dir(out_dir, stage), "docs")
         return spark.read.parquet(docs_dir), lin["n_out"]
 
@@ -666,6 +676,7 @@ def run_corpus_prep(
             **{k: lin[k] for k in ("n_in", "n_out", "n_quarantined",
                                    "digest")},
             "status": "skipped"}
+        _stamp("pack")
     else:
         sdir = _stage_dir(out_dir, "pack")
         seq_dir = os.path.join(sdir, "sequences")
@@ -683,6 +694,7 @@ def run_corpus_prep(
         stats["stages"]["pack"] = {
             "status": "ran", "n_in": prev_n, "n_out": row["n"],
             "n_quarantined": 0, "digest": row["d"]}
+        _stamp("pack")
 
     stats["n_docs"] = prev_n
     stats["wall_s"] = round(time.monotonic() - t_job, 3)
