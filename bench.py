@@ -85,6 +85,11 @@ BENCH_QUERIES = [
     "winnow_fingerprint_xx",
     "dedup_paragraph_xx",
     "dedup_substring_xx",
+    # round-4 corpus-lifecycle ops; decontam_bloom vs split_contamination
+    # shows the bloom-prefilter shuffle reduction on identical output
+    "dedup_incremental",
+    "dedup_semantic",
+    "decontam_bloom",
 ]
 
 

@@ -948,3 +948,310 @@ def dedup_simhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" ^ (instr('{_HEXD}', substring(b_sim, p, 1)) - 1))) AS BIGINT)")
     return (cand.withColumn("hamming", ham)
             .filter(F.col("hamming") <= SIMHASH_SQL_HAM))
+
+
+# --- incremental (cross-corpus) dedup --------------------------------------
+# The recurring-crawl production shape: each NEW snapshot is deduplicated
+# AGAINST the already-retained corpus (never within-old — that work is
+# done), so the per-snapshot cost is |new| sketches + a band equi-join
+# restricted to cross-side pairs. The reference has no corpus lifecycle at
+# all (one document per run, /root/reference/main.py:8-55); this is the
+# operator that makes the dedup suite usable as a standing ingest gate.
+
+_DUCK_INC_CORPUS = """
+old_docs AS (
+  SELECT doc_id AS old_id, text FROM documents WHERE doc_id % 2 = 0),
+new_docs AS (
+  SELECT doc_id AS new_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 1000000 AS new_id,
+         CASE WHEN strpos(text, ' ') > 0
+              THEN substr(text, strpos(text, ' ') + 1) ELSE text END AS text
+  FROM documents WHERE doc_id % 10 = 0)
+"""
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH {_DUCK_INC_CORPUS},
+    osig AS (
+      SELECT old_id, {_duck_shingles(3)} AS shingles
+      FROM (SELECT old_id, string_split(text, ' ') AS w FROM old_docs) t),
+    nsig AS (
+      SELECT new_id, {_duck_shingles(3)} AS shingles
+      FROM (SELECT new_id, string_split(text, ' ') AS w FROM new_docs) t),
+    sides AS (
+      SELECT 'o' AS side, old_id AS id, shingles
+      FROM osig WHERE len(shingles) > 0
+      UNION ALL
+      SELECT 'n' AS side, new_id AS id, shingles
+      FROM nsig WHERE len(shingles) > 0),
+    sig AS (SELECT side, id, [{_DUCK_MH}] AS mh FROM sides),
+    bands AS (
+      SELECT side, id, b, mh[2 * b + 1] || mh[2 * b + 2] AS band_key
+      FROM sig CROSS JOIN
+        (SELECT CAST(range AS INT) AS b FROM range(0, {N_BANDS})) t),
+    bg AS (SELECT *, COUNT(*) OVER (PARTITION BY b, band_key) AS bn
+           FROM bands),
+    cand AS (
+      SELECT DISTINCT n.id AS new_id, o.id AS old_id
+      FROM bg n JOIN bg o ON n.b = o.b AND n.band_key = o.band_key
+      WHERE n.side = 'n' AND o.side = 'o' AND n.bn <= {MAX_BUCKET}),
+    m AS (
+      SELECT c.new_id, c.old_id,
+             CAST(len(list_intersect(ns.shingles, os.shingles)) AS DOUBLE)
+             / CAST(len(ns.shingles) + len(os.shingles)
+                    - len(list_intersect(ns.shingles, os.shingles))
+                    AS DOUBLE) AS jaccard
+      FROM cand c
+      JOIN nsig ns ON ns.new_id = c.new_id
+      JOIN osig os ON os.old_id = c.old_id),
+    hits AS (SELECT * FROM m WHERE jaccard >= 0.5),
+    best AS (
+      SELECT new_id, old_id, jaccard,
+             row_number() OVER (PARTITION BY new_id
+                                ORDER BY jaccard DESC, old_id) AS rn,
+             COUNT(*) OVER (PARTITION BY new_id) AS n_dups
+      FROM hits)
+    SELECT nd.new_id,
+           (b.new_id IS NULL) AS keep,
+           CAST(COALESCE(b.n_dups, 0) AS BIGINT) AS n_dups,
+           b.jaccard AS best_jaccard,
+           b.old_id AS dup_of
+    FROM new_docs nd
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = nd.new_id
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot dedup: flag each NEW document that is a
+    near-duplicate (MinHash-banded candidates, exact Jaccard >= 0.5
+    verify) of the RETAINED corpus, and keep the rest. Old = even
+    doc_ids, new = odd doc_ids plus planted first-word-dropped copies of
+    old docs (the cross-corpus dups the op must find).
+
+    Scale shape: signatures are computed ONCE per side (in production the
+    old side's sketch table is persisted and only |new| signatures are
+    built per snapshot); candidates come from a groupBy(band_key) over
+    the tagged union with the MAX_BUCKET degenerate-bucket cap applied
+    BEFORE the new x old in-array pair expansion — old x old and
+    new x new pairs are never generated. The Jaccard verify intersects
+    the two docs' distinct-shingle arrays narrowly per candidate pair
+    (array_intersect, O(|a|+|b|) hash-set probe — the plans/corpus.py
+    near_dup_pairs discipline), never exploding to (pair, gram) rows.
+    Output is per NEW doc: keep flag, verified-dup count, best match."""
+    out, caches = _dedup_incremental_build(spark, sf_dir)
+    res = out.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return res
+
+
+def _dedup_incremental_build(spark: SparkSession, sf_dir: str):
+    """Plan builder (pre-checkpoint, so tests can assert its physical
+    shape); returns (out, persisted_inputs)."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    old_docs = (docs.filter(F.col("doc_id") % 2 == 0)
+                .select(F.col("doc_id").alias("old_id"), "text"))
+    new_docs = (docs.filter(F.col("doc_id") % 2 == 1)
+                .select(F.col("doc_id").alias("new_id"), "text")
+                .unionByName(
+                    docs.filter(F.col("doc_id") % 10 == 0)
+                    .select((F.col("doc_id") + 1_000_000).alias("new_id"),
+                            F.expr("CASE WHEN locate(' ', text) > 0"
+                                   " THEN substring(text, locate(' ', text) + 1)"
+                                   " ELSE text END").alias("text"))))
+    par = spark.sparkContext.defaultParallelism
+
+    def sig_of(side_df: DataFrame, idc: str) -> DataFrame:
+        return (side_df.repartition(par, idc)
+                .withColumn("w", F.split("text", " "))
+                .filter(F.size("w") >= 3)
+                .select(idc, F.expr(_spark_shingles(3)).alias("shingles")))
+
+    # persist: each side's signature table feeds the band subtree and the
+    # pair-verify join (the production old-side analog is a persisted
+    # sketch table reused across snapshots)
+    osig = sig_of(old_docs, "old_id").persist()
+    nsig = sig_of(new_docs, "new_id").persist()
+
+    def bands_of(sig: DataFrame, idc: str, side: str) -> DataFrame:
+        mh = sig.select(
+            F.col(idc).alias("id"),
+            F.expr(f"array({_SPARK_MH})").alias("mh"))
+        return mh.select(
+            "id", F.lit(side).alias("side"),
+            F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("b"),
+            F.expr("concat(element_at(mh, 2 * b + 1),"
+                   " element_at(mh, 2 * b + 2))").alias("band_key"))
+
+    bands = (bands_of(osig, "old_id", "o")
+             .unionByName(bands_of(nsig, "new_id", "n")))
+    buckets = (bands.groupBy("b", "band_key")
+               .agg(F.array_sort(F.collect_list(
+                        F.when(F.col("side") == "n", F.col("id"))))
+                    .alias("new_ids"),
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("side") == "o", F.col("id"))))
+                    .alias("old_ids"))
+               .filter((F.size("new_ids") >= 1) & (F.size("old_ids") >= 1)
+                       & (F.size("new_ids") + F.size("old_ids")
+                          <= MAX_BUCKET)))
+    pair_expr = ("flatten(transform(new_ids, nn -> "
+                 "transform(old_ids, oo -> "
+                 "struct(nn AS new_id, oo AS old_id))))")
+    cand = (explode_ne(buckets, [], F.expr(pair_expr), "p")
+            .select("p.new_id", "p.old_id")
+            .distinct())
+    inter = "size(array_intersect(n_sh, o_sh))"
+    m = (cand.join(nsig.select(F.col("new_id"),
+                               F.col("shingles").alias("n_sh")), "new_id")
+         .join(osig.select(F.col("old_id"),
+                           F.col("shingles").alias("o_sh")), "old_id")
+         .select("new_id", "old_id", F.expr(
+             f"CAST({inter} AS DOUBLE) / CAST(size(n_sh) + size(o_sh)"
+             f" - {inter} AS DOUBLE)").alias("jaccard"))
+         .filter(F.col("jaccard") >= 0.5))
+    wnd = Window.partitionBy("new_id").orderBy(F.desc("jaccard"),
+                                               F.asc("old_id"))
+    cnt = Window.partitionBy("new_id")
+    best = (m.withColumn("rn", F.row_number().over(wnd))
+            .withColumn("n_dups", F.count("*").over(cnt))
+            .filter(F.col("rn") == 1))
+    out = (new_docs.select("new_id")
+           .join(best, "new_id", "left")
+           .select("new_id",
+                   F.col("rn").isNull().alias("keep"),
+                   F.coalesce("n_dups", F.lit(0)).cast("bigint")
+                   .alias("n_dups"),
+                   F.col("jaccard").alias("best_jaccard"),
+                   F.col("old_id").alias("dup_of")))
+    return out, [osig, nsig]
+
+
+# --- semantic dedup (SemDeDup: cluster, then threshold within cluster) -----
+# Abbas et al. 2023: assign embeddings to clusters, call two documents
+# semantic duplicates when their cosine within a cluster exceeds a
+# threshold, keep one representative per duplicate group. Clustering
+# bounds the pair work to within-cluster — the property that makes
+# cosine dedup tractable at corpus scale without an index over all pairs.
+
+K_ANCHORS = 8
+SEM_TAU = 0.99
+
+# cosine with a zero-norm guard: zero vectors assign to the tie-break
+# anchor (all scores -2.0) and never verify as duplicates
+_DOT_AB = ("aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) *"
+           " CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+
+def _spark_cos(a: str, b: str) -> str:
+    dot = _DOT_AB.format(a=a, b=b)
+    na = f"sqrt({_DOT_AB.format(a=a, b=a)})"
+    nb = f"sqrt({_DOT_AB.format(a=b, b=b)})"
+    return (f"CASE WHEN {na} * {nb} = 0.0 THEN CAST(-2.0 AS DOUBLE)"
+            f" ELSE {dot} / ({na} * {nb}) END")
+
+
+def _duck_cos(a: str, b: str) -> str:
+    def dot(x: str, y: str) -> str:
+        return (f"list_sum(list_transform(range(1, len({y}) + 1),"
+                f" i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)))")
+    na = f"sqrt({dot(a, a)})"
+    nb = f"sqrt({dot(b, b)})"
+    return (f"CASE WHEN {na} * {nb} = 0.0 THEN CAST(-2.0 AS DOUBLE)"
+            f" ELSE {dot(a, b)} / ({na} * {nb}) END")
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, embedding
+      FROM embeddings WHERE vec_id % 20 = 0),
+    anch AS (SELECT vec_id AS aid, embedding AS aemb
+             FROM embeddings WHERE vec_id < {K_ANCHORS}),
+    scored AS (
+      SELECT a.vec_id, an.aid,
+             {_duck_cos('a.embedding', 'an.aemb')} AS c
+      FROM aug a CROSS JOIN anch an),
+    assign AS (
+      SELECT vec_id, aid AS cluster FROM (
+        SELECT vec_id, aid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY c DESC, aid) AS rn
+        FROM scored) t WHERE rn = 1),
+    cl AS (SELECT s.vec_id, s.cluster, a.embedding
+           FROM assign s JOIN aug a ON a.vec_id = s.vec_id),
+    pairs AS (
+      SELECT x.vec_id AS a_id, y.vec_id AS b_id
+      FROM cl x JOIN cl y
+        ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      WHERE {_duck_cos('x.embedding', 'y.embedding')} >= {SEM_TAU}),
+    dropped AS (SELECT DISTINCT b_id FROM pairs)
+    SELECT asn.vec_id, asn.cluster, (d.b_id IS NULL) AS keep
+    FROM assign asn LEFT JOIN dropped d ON d.b_id = asn.vec_id
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup: assign each embedding to its
+    max-cosine anchor (deterministic anchors: the {K_ANCHORS} lowest
+    vec_ids — the fixture stand-in for k-means centroids, which are a
+    model artifact like the IVF codebook), then within each cluster mark
+    every vector that has a higher-similarity twin with a smaller id
+    (cosine >= {SEM_TAU}) as a drop; one representative per duplicate
+    group survives. The corpus is augmented with exact copies
+    (vec_id+100000 for vec_id % 20 = 0) the op must drop.
+
+    Scale shape: assignment is a broadcast cross join against K anchor
+    rows (K ~ n / target_cluster_size in production — the SemDeDup paper
+    uses K = 11k for 1.3e8 docs) followed by a K-row-per-key window;
+    pair generation is an equi-join ON CLUSTER, so pair work is
+    sum(cluster_size^2) — bounded by the clustering granularity, never
+    a corpus cross join. Zero vectors score -2.0 everywhere: they
+    assign to the tie-break anchor and never verify as duplicates."""
+    out, cl = _dedup_semantic_build(spark, sf_dir)
+    res = out.localCheckpoint(eager=True)
+    cl.unpersist()
+    return res
+
+
+def _dedup_semantic_build(spark: SparkSession, sf_dir: str):
+    """Plan builder (pre-checkpoint, so tests can assert its physical
+    shape); returns (out, persisted_cluster_table)."""
+    emb = tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    aug = emb.unionByName(
+        emb.filter(F.col("vec_id") % 20 == 0)
+        .select((F.col("vec_id") + 100_000).alias("vec_id"), "embedding"))
+    aug = aug.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    anch = (emb.filter(F.col("vec_id") < K_ANCHORS)
+            .select(F.col("vec_id").alias("aid"),
+                    F.col("embedding").alias("aemb")))
+    scored = (aug.crossJoin(F.broadcast(anch))
+              .select("vec_id", "aid",
+                      F.expr(_spark_cos("embedding", "aemb")).alias("c")))
+    wnd = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("aid"))
+    assign = (scored.withColumn("rn", F.row_number().over(wnd))
+              .filter(F.col("rn") == 1)
+              .select("vec_id", F.col("aid").alias("cluster")))
+    cl = assign.join(aug, "vec_id").persist()  # pair join x + y subtrees
+    x = cl.select(F.col("vec_id").alias("a_id"),
+                  F.col("cluster").alias("a_cl"),
+                  F.col("embedding").alias("va"))
+    y = cl.select(F.col("vec_id").alias("b_id"),
+                  F.col("cluster").alias("b_cl"),
+                  F.col("embedding").alias("vb"))
+    pairs = (x.join(y, (F.col("a_cl") == F.col("b_cl"))
+                    & (F.col("a_id") < F.col("b_id")))
+             .filter(F.expr(_spark_cos("va", "vb")) >= SEM_TAU)
+             .select("b_id").distinct())
+    out = (assign.join(pairs.withColumnRenamed("b_id", "vec_id"),
+                       "vec_id", "left_anti")
+           .select("vec_id", "cluster", F.lit(True).alias("keep"))
+           .unionByName(
+               assign.join(pairs.withColumnRenamed("b_id", "vec_id"),
+                           "vec_id", "left_semi")
+               .select("vec_id", "cluster", F.lit(False).alias("keep"))))
+    return out, cl

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from . import explode_ne, register, tbl
+from . import REGISTRY, explode_ne, register, tbl
 from .dedup_q import _DUCK_AUG, _aug_docs, _duck_shingles, _spark_shingles
 
 # --- PII scrubbing ---------------------------------------------------------
@@ -814,3 +814,87 @@ def domain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(d), "domain")
             .select("doc_id", "domain", "n_docs", "mean_len", "dup_frac",
                     keep.alias("keep")))
+
+
+# --- bloom-prefiltered decontamination (scale path of split_contamination) --
+
+# Bit-space size M: fpp only — NEVER correctness (the prefilter admits no
+# false negative; false positives die in the exact verify join below).
+# fpp ~= 1 - exp(-n_distinct_train_grams / M) for the one-hash filter.
+BLOOM_M = 1 << 22
+
+
+@register(
+    "decontam_bloom",
+    # identical output to split_contamination by construction -> shares its
+    # oracle string verbatim (the bloom admits no false negative; its false
+    # positives are removed by the same exact semi-join)
+    oracle=REGISTRY["split_contamination"].oracle,
+)
+def decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split_contamination with a Bloom prefilter on the train-gram side:
+    train grams hash into a {BLOOM_M}-slot bit space (one-hash Bloom
+    filter — k=1 keeps the membership test a single broadcast hash-join
+    probe; Spark 4.1 does not expose bloom_filter_agg/might_contain in
+    the public registry, and a k-hash filter would need k probes for the
+    same asymptotics), the OCCUPIED slots are distinct-ed into a bitmap
+    table that is <= {BLOOM_M} rows NO MATTER how large the train split
+    is — the fixed-size-sketch property that makes this a Bloom filter
+    rather than a gram set — and test grams are prefiltered by a
+    broadcast semi-join against that bitmap BEFORE any shuffle; only the
+    surviving candidates pay the exact semi-join that computes the
+    final counts.
+
+    Why this is the 100-TB shape: in a decontamination pass the
+    overwhelming majority of test grams are clean, so the exact-join
+    variant shuffles ~all test grams against the train-gram table. The
+    bloom costs one broadcast of a bounded slot table (~{BLOOM_M} x 8 B
+    worst case, independent of corpus size) and cuts the shuffled volume
+    to (true hits + fpp x clean) rows, while the exact verify keeps the
+    result bit-identical to the exact operator (same DuckDB oracle)."""
+    out, sig = _decontam_bloom_build(spark, sf_dir)
+    res = out.localCheckpoint(eager=True)
+    sig.unpersist()
+    return res
+
+
+def _decontam_bloom_build(spark: SparkSession, sf_dir: str):
+    """Plan builder (pre-checkpoint, so tests can assert its physical
+    shape); returns (out, persisted_sig)."""
+    docs = tbl(spark, sf_dir, "documents")
+    h = F.substring(
+        F.sha2(F.concat(F.lit("split#"), F.col("doc_id").cast("string")),
+               256), 1, 1)
+    s = docs.select(
+        "doc_id", "text",
+        F.when(h < "c", "train").when(h < "e", "val").otherwise("test")
+        .alias("split"))
+    sig = (s.withColumn("w", F.split("text", " "))
+           .filter(F.size("w") >= CONTAM_N)
+           .select("doc_id", "split",
+                   F.expr(_spark_shingles(CONTAM_N)).alias("grams"))
+           .persist())  # train distinct + bloom build + test explode + join
+    train_g = (sig.filter(F.col("split") == "train")
+               .select(F.explode("grams").alias("g")).distinct())
+    slot = F.pmod(F.xxhash64("g"), F.lit(BLOOM_M))
+    # occupied bloom slots: bounded at BLOOM_M rows by construction
+    # (slot values live in [0, M)), distinct-ed map-side first
+    bloom = train_g.select(slot.alias("slot")).distinct()
+    test_ex = (sig.filter(F.col("split") == "test")
+               .select("doc_id", F.explode("grams").alias("g")))
+    test_cand = (test_ex.withColumn("slot", slot)
+                 .join(F.broadcast(bloom), "slot", "left_semi")
+                 .select("doc_id", "g"))
+    hits = (test_cand.join(train_g, "g")
+            .groupBy("doc_id").agg(F.count("*").alias("n_contam")))
+    out = (sig.filter(F.col("split") == "test")
+           .select("doc_id",
+                   F.size("grams").cast("bigint").alias("n_grams"))
+           .join(hits, "doc_id", "left")
+           .select(
+               "doc_id", "n_grams",
+               F.coalesce("n_contam", F.lit(0)).cast("bigint")
+               .alias("n_contam"),
+               (F.coalesce("n_contam", F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double")).alias("contam_frac")))
+    return out, sig

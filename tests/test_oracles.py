@@ -56,6 +56,10 @@ SMOKE = [
     "domain_gate",
     "ann_sq_topk",
     "dedup_simhash_sql",  # round-4 relational twin of the simhash kernel
+    # round-4 corpus-lifecycle ops
+    "dedup_incremental",
+    "dedup_semantic",
+    "decontam_bloom",
     # round-4 production-hash fast paths (internal xxhash keys, outputs
     # identical — they share the sha variants' oracles verbatim)
     "dedup_paragraph_xx",

@@ -852,3 +852,87 @@ def test_dedup_simhash_sql_finds_exact_plants(spark):
                 .count())
     assert len(planted) == expected
     assert all(h == 0 for h in planted.values())
+
+
+def test_dedup_incremental_flags_plants_no_cartesian(spark):
+    """Every planted cross-corpus copy (old doc_id%10==0 → new_id+1M,
+    first word dropped) must be flagged keep=False with its origin as the
+    best match; candidate generation must be the banded bucket groupBy,
+    never a cross join."""
+    from pdf_extract_spark.queries import load_all, tbl
+    from pyspark.sql import functions as F
+
+    from pdf_extract_spark.queries.dedup_q import _dedup_incremental_build
+
+    q = load_all()["dedup_incremental"]
+    built, caches = _dedup_incremental_build(spark, SF)
+    plan = _plan(built)
+    for c in caches:
+        c.unpersist()
+    assert "CartesianProduct" not in plan
+    df = q.fn(spark, SF)
+    rows = {r["new_id"]: r for r in df.collect()}
+    planted_src = [r["doc_id"] for r in
+                   tbl(spark, SF, "documents")
+                   .filter((F.col("doc_id") % 10 == 0)
+                           & (F.size(F.split("text", " ")) >= 4))
+                   .select("doc_id").collect()]
+    assert planted_src
+    for src in planted_src:
+        r = rows[src + 1_000_000]
+        assert r["keep"] is False
+        assert r["dup_of"] == src
+        assert r["best_jaccard"] >= 0.5
+    # old x old / new x new pairs are never emitted: every flagged row's
+    # dup_of is an OLD (even) id
+    assert all(r["dup_of"] % 2 == 0 for r in rows.values()
+               if r["dup_of"] is not None)
+
+
+def test_dedup_semantic_drops_planted_copies(spark):
+    """Every planted exact vector copy (vec_id%20==0 → +100000) with a
+    nonzero origin must land in the origin's cluster and be dropped; the
+    anchor assignment is a broadcast join and pair work is an equi-join
+    on cluster (no cartesian)."""
+    from pdf_extract_spark.queries import load_all, tbl
+    from pyspark.sql import functions as F
+
+    from pdf_extract_spark.queries.dedup_q import _dedup_semantic_build
+
+    q = load_all()["dedup_semantic"]
+    built, cl = _dedup_semantic_build(spark, SF)
+    plan = _plan(built)
+    cl.unpersist()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    rows = {r["vec_id"]: r for r in q.fn(spark, SF).collect()}
+    nz = "aggregate(embedding, CAST(0.0 AS DOUBLE)," \
+         " (acc, x) -> acc + abs(CAST(x AS DOUBLE))) > 0.0"
+    planted = [r["vec_id"] for r in
+               tbl(spark, SF, "embeddings")
+               .filter((F.col("vec_id") % 20 == 0) & F.expr(nz))
+               .select("vec_id").collect()]
+    assert planted
+    for src in planted:
+        copy = rows[src + 100_000]
+        assert copy["keep"] is False
+        assert copy["cluster"] == rows[src]["cluster"]
+    assert any(r["keep"] for r in rows.values())
+
+
+def test_decontam_bloom_matches_exact_and_broadcasts(spark):
+    """The bloom prefilter must not change the result (no false negatives;
+    false positives die in the exact verify) and must probe via a
+    broadcast semi-join on the bounded slot table."""
+    from pdf_extract_spark.queries import load_all
+
+    from pdf_extract_spark.queries.pipeline_q import _decontam_bloom_build
+
+    reg = load_all()
+    built, sig = _decontam_bloom_build(spark, SF)
+    plan = _plan(built)
+    sig.unpersist()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    exact = {tuple(r) for r in reg["split_contamination"].fn(spark, SF).collect()}
+    bloom = {tuple(r) for r in reg["decontam_bloom"].fn(spark, SF).collect()}
+    assert bloom == exact
