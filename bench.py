@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "dedup_semantic",
     "decontam_bloom",
+    "importance_sample",
 ]
 
 

@@ -220,17 +220,26 @@ def dedup_paragraphs(docs: DataFrame) -> DataFrame:
 
 
 def _shingle_sets(docs: DataFrame) -> DataFrame:
-    """(url, doc_key, shingles) with shingles = distinct word SHINGLE_N-grams.
+    """(url, doc_key, gh) with gh = SORTED DISTINCT xxhash64 keys of the
+    word SHINGLE_N-grams. Each word is string-hashed ONCE; a gram key
+    mixes its SHINGLE_N word hashes as fixed-width longs (variadic
+    xxhash64), so no gram string is ever materialized and a word pays
+    one variable-length hash no matter how many grams contain it — vs
+    the previous string-gram build, which concat_ws'd every gram and
+    then string-hashed it 9 times (once for the verify array + once per
+    MinHash permutation). 64-bit gram collisions only perturb a Jaccard
+    estimate (the acceptance already documented on the hashed verify);
+    keys that must never merge content stay 128-bit (paragraph/exact).
     Docs shorter than SHINGLE_N words get no row (they cannot near-dup)."""
-    joined = ", ".join(
-        f"element_at(w, i + {j + 1})" for j in range(SHINGLE_N))
-    expr = (f"array_distinct(transform(sequence(0, size(w) - {SHINGLE_N}),"
-            f" i -> concat_ws(' ', {joined})))")
+    whs = ", ".join(f"element_at(wh, i + {j + 1})" for j in range(SHINGLE_N))
+    expr = (f"array_sort(array_distinct(transform("
+            f"sequence(0, size(wh) - {SHINGLE_N}), i -> xxhash64({whs}))))")
     return (docs
             .withColumn("w", F.split("text", _WORD_SEP))
             .filter(F.size("w") >= SHINGLE_N)
+            .withColumn("wh", F.expr("transform(w, x -> xxhash64(x))"))
             .select("url", _doc_key().alias("doc_key"),
-                    F.expr(expr).alias("shingles")))
+                    F.expr(expr).alias("gh")))
 
 
 def near_dup_pairs(docs: DataFrame) -> DataFrame:
@@ -251,16 +260,12 @@ def near_dup_pairs(docs: DataFrame) -> DataFrame:
     doc in many pairs duplicates its array per pair — the same payload
     the posting join duplicates as rows, minus the per-row overhead."""
     mh_terms = ", ".join(
-        f"array_min(transform(shingles, s -> xxhash64({j}, s)))"
+        # permutations hash the 8-byte gram KEY, not the gram string —
+        # fixed-width long input, same MinHash family quality
+        f"array_min(transform(gh, g -> xxhash64({j}, g)))"
         for j in range(N_PERM))
     sig = (_shingle_sets(docs)
-           .select("url", "doc_key",
-                   # hashed shingles: 8-byte elements (vs gram strings)
-                   # both in the persist cache and in the verify shuffle;
-                   # array_intersect on hashes == gram intersection up to
-                   # xxhash64 collisions (which the posting join shared)
-                   F.array_sort(F.expr(
-                       "transform(shingles, s -> xxhash64(s))")).alias("gh"),
+           .select("url", "doc_key", "gh",
                    F.expr(f"array({mh_terms})").alias("mh"))
            .persist())  # bands + verify-a + verify-b subtrees
     try:

@@ -898,3 +898,94 @@ def _decontam_bloom_build(spark: SparkSession, sf_dir: str):
                (F.coalesce("n_contam", F.lit(0)).cast("double")
                 / F.col("n_grams").cast("double")).alias("contam_frac")))
     return out, sig
+
+
+# --- importance sampling (DSIR-style data selection) ------------------------
+
+DSIR_B = 4096  # hashed-feature buckets (3 sha256 hex nibbles, exactly 16^3)
+
+# bucket id from the first 3 nibbles of sha256(word) — engine-identical
+# (the dedup_simhash_sql nibble-parse idiom; Spark's conv() has no DuckDB
+# twin). {h} = the sha256 hex column/expr, {f} = instr/strpos per dialect.
+_HEXD = "0123456789abcdef"
+
+
+def _bucket3(sha: str) -> str:
+    return (f"(instr('{_HEXD}', substring({sha}, 1, 1)) - 1) * 256"
+            f" + (instr('{_HEXD}', substring({sha}, 2, 1)) - 1) * 16"
+            f" + (instr('{_HEXD}', substring({sha}, 3, 1)) - 1)")
+
+
+def _duck_bucket3(sha: str) -> str:
+    return (f"(instr('{_HEXD}', substr({sha}, 1, 1)) - 1) * 256"
+            f" + (instr('{_HEXD}', substr({sha}, 2, 1)) - 1) * 16"
+            f" + (instr('{_HEXD}', substr({sha}, 3, 1)) - 1)")
+
+
+@register(
+    "importance_sample",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents),
+    bk AS (SELECT doc_id, {_duck_bucket3('sha256(w)')} AS b FROM tk),
+    tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS t FROM bk
+            WHERE doc_id % 7 = 0 GROUP BY b),
+    rawc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS r FROM bk GROUP BY b),
+    tot AS (SELECT CAST(SUM(t) AS BIGINT) AS tt FROM tgt),
+    rot AS (SELECT CAST(SUM(r) AS BIGINT) AS rr FROM rawc),
+    sc AS (SELECT bk.doc_id,
+                  CAST(length(bin(COALESCE(tgt.t, 0) + 1))
+                       - length(bin(rawc.r + 1))
+                       + length(bin(rot.rr)) - length(bin(tot.tt))
+                       AS BIGINT) AS bits
+           FROM bk
+           JOIN rawc USING (b)
+           LEFT JOIN tgt USING (b)
+           CROSS JOIN tot CROSS JOIN rot)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tok,
+           CAST(SUM(bits) AS BIGINT) AS llr_bits,
+           (SUM(bits) > 0) AS selected
+    FROM sc GROUP BY doc_id
+    """,
+)
+def importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance sampling (Xie et al. 2023, public method):
+    score every raw document by the log-likelihood ratio of a hashed
+    bag-of-words model fit on a TARGET domain sample (here the
+    deterministic doc_id % 7 = 0 subset standing in for the curated
+    corpus) vs the raw pool, and select documents that look more
+    target-like than raw-like. Words hash into {DSIR_B} buckets; the
+    log2s are integer bit lengths (`length(bin(x))` — the lm_surprisal
+    idiom), so no libm log crosses the engine boundary:
+    llr_bits = sum_w [bits(t_b+1) - bits(r_b+1)] + n_tok*(bits(R)-bits(T))
+    — the normalization constants folded in exactly.
+
+    Scale shape: one narrow explode+hash pass, two BOUNDED groupBys (at
+    most {DSIR_B} groups each, map-side partials collapse any corpus to
+    {DSIR_B} rows per task), the bucket stats re-join the token stream by
+    BROADCAST (<= {DSIR_B} rows + two 1-row totals), and the only
+    corpus-sized shuffle is the final groupBy(doc_id) with map-side
+    partial SUM. No pair expansion, no window, no driver collect."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    tk = explode_ne(docs, ["doc_id"], F.split("text", " "), "w")
+    bk = tk.select("doc_id",
+                   F.expr(_bucket3("sha2(w, 256)")).alias("b"))
+    tgt = (bk.filter(F.col("doc_id") % 7 == 0)
+           .groupBy("b").agg(F.count("*").cast("bigint").alias("t")))
+    rawc = bk.groupBy("b").agg(F.count("*").cast("bigint").alias("r"))
+    tot = tgt.agg(F.sum("t").cast("bigint").alias("tt"))
+    rot = rawc.agg(F.sum("r").cast("bigint").alias("rr"))
+    bits = F.expr(
+        "CAST(length(bin(coalesce(t, CAST(0 AS BIGINT)) + 1))"
+        " - length(bin(r + 1)) + length(bin(rr)) - length(bin(tt))"
+        " AS BIGINT)")
+    sc = (bk.join(F.broadcast(rawc), "b")
+          .join(F.broadcast(tgt), "b", "left")
+          .crossJoin(F.broadcast(tot))
+          .crossJoin(F.broadcast(rot))
+          .select("doc_id", bits.alias("bits")))
+    return (sc.groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_tok"),
+                 F.sum("bits").cast("bigint").alias("llr_bits"),
+                 (F.sum("bits") > 0).alias("selected")))

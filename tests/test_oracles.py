@@ -60,6 +60,7 @@ SMOKE = [
     "dedup_incremental",
     "dedup_semantic",
     "decontam_bloom",
+    "importance_sample",
     # round-4 production-hash fast paths (internal xxhash keys, outputs
     # identical — they share the sha variants' oracles verbatim)
     "dedup_paragraph_xx",

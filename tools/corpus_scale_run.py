@@ -31,6 +31,12 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--no-warmup", action="store_true")
     ap.add_argument("--parts", type=int, default=128)
+    # Like --parts, shuffle granularity is data-determined on a real
+    # cluster, not cluster-size-determined: fixing it across parallelism
+    # levels keeps per-partition shuffle volume (and spill behavior)
+    # identical on both legs. AQE still coalesces small exchanges below
+    # this ceiling the same way at either level. 0 = legacy cpus-matched.
+    ap.add_argument("--shuffle-partitions", type=int, default=64)
     args = ap.parse_args()
 
     from pdf_extract_spark.plans.corpus import run_corpus_prep
@@ -39,7 +45,8 @@ def main() -> None:
 
     spark = get_spark(master=f"local[{args.cpus}]",
                       app_name=f"corpus-scale-{args.cpus}",
-                      shuffle_partitions=args.cpus)
+                      shuffle_partitions=(args.shuffle_partitions
+                                          or args.cpus))
     try:
         if not args.no_warmup:
             warm_dir = f"{args.out}_warm"
