@@ -1136,31 +1136,18 @@ def _dedup_incremental_build(spark: SparkSession, sf_dir: str):
 # bounds the pair work to within-cluster — the property that makes
 # cosine dedup tractable at corpus scale without an index over all pairs.
 
-K_ANCHORS = 8
+K_MIN = 8       # anchor-count floor (tiny fixtures)
+K_DIV = 256     # anchors K = greatest(K_MIN, n // K_DIV): pair work is
+                # sum(cluster^2) ~ n * K_DIV — LINEAR in n, not n^2/const
 SEM_TAU = 0.99
 
-# cosine with a zero-norm guard: zero vectors assign to the tie-break
-# anchor (all scores -2.0) and never verify as duplicates
 _DOT_AB = ("aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) *"
            " CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
 
 
-def _spark_cos(a: str, b: str) -> str:
-    dot = _DOT_AB.format(a=a, b=b)
-    na = f"sqrt({_DOT_AB.format(a=a, b=a)})"
-    nb = f"sqrt({_DOT_AB.format(a=b, b=b)})"
-    return (f"CASE WHEN {na} * {nb} = 0.0 THEN CAST(-2.0 AS DOUBLE)"
-            f" ELSE {dot} / ({na} * {nb}) END")
-
-
-def _duck_cos(a: str, b: str) -> str:
-    def dot(x: str, y: str) -> str:
-        return (f"list_sum(list_transform(range(1, len({y}) + 1),"
-                f" i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)))")
-    na = f"sqrt({dot(a, a)})"
-    nb = f"sqrt({dot(b, b)})"
-    return (f"CASE WHEN {na} * {nb} = 0.0 THEN CAST(-2.0 AS DOUBLE)"
-            f" ELSE {dot(a, b)} / ({na} * {nb}) END")
+def _duck_dot(x: str, y: str) -> str:
+    return (f"list_sum(list_transform(range(1, len({y}) + 1),"
+            f" i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)))")
 
 
 @register(
@@ -1171,47 +1158,60 @@ def _duck_cos(a: str, b: str) -> str:
       UNION ALL
       SELECT vec_id + 100000 AS vec_id, embedding
       FROM embeddings WHERE vec_id % 20 = 0),
-    anch AS (SELECT vec_id AS aid, embedding AS aemb
-             FROM embeddings WHERE vec_id < {K_ANCHORS}),
+    augn AS (SELECT vec_id, embedding,
+                    sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+             FROM aug),
+    anch AS (SELECT vec_id AS aid, embedding AS aemb,
+                    sqrt({_duck_dot('embedding', 'embedding')}) AS anrm
+             FROM embeddings
+             WHERE vec_id < greatest({K_MIN},
+                     (SELECT COUNT(*) // {K_DIV} FROM embeddings))),
     scored AS (
       SELECT a.vec_id, an.aid,
-             {_duck_cos('a.embedding', 'an.aemb')} AS c
-      FROM aug a CROSS JOIN anch an),
+             CASE WHEN a.nrm * an.anrm = 0.0 THEN CAST(-2.0 AS DOUBLE)
+                  ELSE {_duck_dot('a.embedding', 'an.aemb')}
+                       / (a.nrm * an.anrm) END AS c
+      FROM augn a CROSS JOIN anch an),
     assign AS (
       SELECT vec_id, aid AS cluster FROM (
         SELECT vec_id, aid,
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY c DESC, aid) AS rn
         FROM scored) t WHERE rn = 1),
-    cl AS (SELECT s.vec_id, s.cluster, a.embedding
-           FROM assign s JOIN aug a ON a.vec_id = s.vec_id),
+    cl AS (SELECT s.vec_id, s.cluster, a.embedding, a.nrm
+           FROM assign s JOIN augn a ON a.vec_id = s.vec_id),
     pairs AS (
       SELECT x.vec_id AS a_id, y.vec_id AS b_id
       FROM cl x JOIN cl y
         ON x.cluster = y.cluster AND x.vec_id < y.vec_id
-      WHERE {_duck_cos('x.embedding', 'y.embedding')} >= {SEM_TAU}),
+      WHERE x.nrm * y.nrm > 0.0
+        AND {_duck_dot('x.embedding', 'y.embedding')}
+            >= CAST({SEM_TAU} AS DOUBLE) * (x.nrm * y.nrm)),
     dropped AS (SELECT DISTINCT b_id FROM pairs)
     SELECT asn.vec_id, asn.cluster, (d.b_id IS NULL) AS keep
     FROM assign asn LEFT JOIN dropped d ON d.b_id = asn.vec_id
     """,
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup semantic dedup: assign each embedding to its
-    max-cosine anchor (deterministic anchors: the {K_ANCHORS} lowest
-    vec_ids — the fixture stand-in for k-means centroids, which are a
-    model artifact like the IVF codebook), then within each cluster mark
-    every vector that has a higher-similarity twin with a smaller id
-    (cosine >= {SEM_TAU}) as a drop; one representative per duplicate
-    group survives. The corpus is augmented with exact copies
-    (vec_id+100000 for vec_id % 20 = 0) the op must drop.
+    """SemDeDup semantic dedup: assign each embedding to its max-cosine
+    anchor (deterministic anchors: the K lowest vec_ids with
+    K = greatest({K_MIN}, n // {K_DIV}) — the fixture stand-in for
+    k-means centroids, which are a fitted model artifact like the IVF
+    codebook), then within each cluster mark every vector that has a
+    >= {SEM_TAU}-cosine twin with a smaller id as a drop; one
+    representative per duplicate group survives. The corpus is augmented
+    with exact copies (vec_id+100000 for vec_id % 20 = 0) the op must
+    drop.
 
-    Scale shape: assignment is a broadcast cross join against K anchor
-    rows (K ~ n / target_cluster_size in production — the SemDeDup paper
-    uses K = 11k for 1.3e8 docs) followed by a K-row-per-key window;
-    pair generation is an equi-join ON CLUSTER, so pair work is
-    sum(cluster_size^2) — bounded by the clustering granularity, never
-    a corpus cross join. Zero vectors score -2.0 everywhere: they
-    assign to the tie-break anchor and never verify as duplicates."""
+    Scale shape: K grows WITH the corpus (the SemDeDup paper's regime —
+    11k clusters for 1.3e8 docs), so within-cluster pair work is
+    sum(cluster_size^2) ~ n * {K_DIV}: linear in n, never a corpus cross
+    join. Norms are precomputed ONCE per vector, so assignment pays one
+    array fold per (vector, anchor) and the pair verify ONE fold per
+    candidate pair (dot >= tau * na * nb — algebraically the cosine
+    test, shared exactly by the oracle). Zero vectors score -2.0
+    everywhere: they assign to the tie-break anchor and never verify
+    as duplicates."""
     out, cl = _dedup_semantic_build(spark, sf_dir)
     res = out.localCheckpoint(eager=True)
     cl.unpersist()
@@ -1226,26 +1226,37 @@ def _dedup_semantic_build(spark: SparkSession, sf_dir: str):
         emb.filter(F.col("vec_id") % 20 == 0)
         .select((F.col("vec_id") + 100_000).alias("vec_id"), "embedding"))
     aug = aug.repartition(spark.sparkContext.defaultParallelism, "vec_id")
-    anch = (emb.filter(F.col("vec_id") < K_ANCHORS)
+    nrm = F.expr(f"sqrt({_DOT_AB.format(a='embedding', b='embedding')})")
+    augn = aug.withColumn("nrm", nrm)
+    cnt = emb.agg(F.count("*").alias("n_base"))
+    anch = (emb.crossJoin(F.broadcast(cnt))
+            .filter(F.col("vec_id")
+                    < F.greatest(F.lit(K_MIN), F.expr(f"n_base DIV {K_DIV}")))
             .select(F.col("vec_id").alias("aid"),
-                    F.col("embedding").alias("aemb")))
-    scored = (aug.crossJoin(F.broadcast(anch))
-              .select("vec_id", "aid",
-                      F.expr(_spark_cos("embedding", "aemb")).alias("c")))
+                    F.col("embedding").alias("aemb"),
+                    nrm.alias("anrm")))
+    dot_va = _DOT_AB.format(a='embedding', b='aemb')
+    scored = (augn.crossJoin(F.broadcast(anch))
+              .select("vec_id", "aid", F.expr(
+                  f"CASE WHEN nrm * anrm = 0.0 THEN CAST(-2.0 AS DOUBLE)"
+                  f" ELSE {dot_va} / (nrm * anrm) END").alias("c")))
     wnd = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("aid"))
     assign = (scored.withColumn("rn", F.row_number().over(wnd))
               .filter(F.col("rn") == 1)
               .select("vec_id", F.col("aid").alias("cluster")))
-    cl = assign.join(aug, "vec_id").persist()  # pair join x + y subtrees
+    cl = assign.join(augn, "vec_id").persist()  # pair join x + y subtrees
     x = cl.select(F.col("vec_id").alias("a_id"),
                   F.col("cluster").alias("a_cl"),
-                  F.col("embedding").alias("va"))
+                  F.col("embedding").alias("va"), F.col("nrm").alias("na"))
     y = cl.select(F.col("vec_id").alias("b_id"),
                   F.col("cluster").alias("b_cl"),
-                  F.col("embedding").alias("vb"))
+                  F.col("embedding").alias("vb"), F.col("nrm").alias("nb"))
+    dot_ab = _DOT_AB.format(a='va', b='vb')
     pairs = (x.join(y, (F.col("a_cl") == F.col("b_cl"))
                     & (F.col("a_id") < F.col("b_id")))
-             .filter(F.expr(_spark_cos("va", "vb")) >= SEM_TAU)
+             .filter((F.col("na") * F.col("nb") > 0.0)
+                     & F.expr(f"{dot_ab} >= CAST({SEM_TAU} AS DOUBLE)"
+                              f" * (na * nb)"))
              .select("b_id").distinct())
     out = (assign.join(pairs.withColumnRenamed("b_id", "vec_id"),
                        "vec_id", "left_anti")
@@ -1253,5 +1264,5 @@ def _dedup_semantic_build(spark: SparkSession, sf_dir: str):
            .unionByName(
                assign.join(pairs.withColumnRenamed("b_id", "vec_id"),
                            "vec_id", "left_semi")
-               .select("vec_id", "cluster", F.lit(False).alias("keep"))))
+                .select("vec_id", "cluster", F.lit(False).alias("keep"))))
     return out, cl
