@@ -961,29 +961,34 @@ def importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     llr_bits = sum_w [bits(t_b+1) - bits(r_b+1)] + n_tok*(bits(R)-bits(T))
     — the normalization constants folded in exactly.
 
-    Scale shape: one narrow explode+hash pass, two BOUNDED groupBys (at
-    most {DSIR_B} groups each, map-side partials collapse any corpus to
-    {DSIR_B} rows per task), the bucket stats re-join the token stream by
-    BROADCAST (<= {DSIR_B} rows + two 1-row totals), and the only
-    corpus-sized shuffle is the final groupBy(doc_id) with map-side
-    partial SUM. No pair expansion, no window, no driver collect."""
+    Scale shape: TWO corpus passes total, statically guaranteed. Raw and
+    target bucket counts come from ONE groupBy(b) with a conditional
+    count (at most {DSIR_B} groups, map-side partials collapse any
+    corpus to {DSIR_B} rows per task), and the grand totals are folded
+    into that same bounded frame by an unpartitioned window — safe here
+    and ONLY here because the window input is <= {DSIR_B} rows by
+    construction, independent of corpus size (the earlier four-branch
+    form re-ran the tokenize+sha2 scan per stats branch: 5 corpus
+    scans). The enriched stats re-join the token stream by ONE
+    BROADCAST hash join, and the only corpus-sized shuffle is the final
+    groupBy(doc_id) with map-side partial SUM. No pair expansion, no
+    corpus-sized window, no driver collect."""
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
     tk = explode_ne(docs, ["doc_id"], F.split("text", " "), "w")
     bk = tk.select("doc_id",
                    F.expr(_bucket3("sha2(w, 256)")).alias("b"))
-    tgt = (bk.filter(F.col("doc_id") % 7 == 0)
-           .groupBy("b").agg(F.count("*").cast("bigint").alias("t")))
-    rawc = bk.groupBy("b").agg(F.count("*").cast("bigint").alias("r"))
-    tot = tgt.agg(F.sum("t").cast("bigint").alias("tt"))
-    rot = rawc.agg(F.sum("r").cast("bigint").alias("rr"))
+    stats = bk.groupBy("b").agg(
+        F.count("*").cast("bigint").alias("r"),
+        F.count_if(F.col("doc_id") % 7 == 0).cast("bigint").alias("t"))
+    wall = Window.partitionBy()  # <= DSIR_B rows: bounded by construction
+    stats = stats.select(
+        "b", "r", "t",
+        F.sum("r").over(wall).cast("bigint").alias("rr"),
+        F.sum("t").over(wall).cast("bigint").alias("tt"))
     bits = F.expr(
-        "CAST(length(bin(coalesce(t, CAST(0 AS BIGINT)) + 1))"
-        " - length(bin(r + 1)) + length(bin(rr)) - length(bin(tt))"
-        " AS BIGINT)")
-    sc = (bk.join(F.broadcast(rawc), "b")
-          .join(F.broadcast(tgt), "b", "left")
-          .crossJoin(F.broadcast(tot))
-          .crossJoin(F.broadcast(rot))
+        "CAST(length(bin(t + 1)) - length(bin(r + 1))"
+        " + length(bin(rr)) - length(bin(tt)) AS BIGINT)")
+    sc = (bk.join(F.broadcast(stats), "b")
           .select("doc_id", bits.alias("bits")))
     return (sc.groupBy("doc_id")
             .agg(F.count("*").cast("bigint").alias("n_tok"),

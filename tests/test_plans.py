@@ -936,3 +936,21 @@ def test_decontam_bloom_matches_exact_and_broadcasts(spark):
     exact = {tuple(r) for r in reg["split_contamination"].fn(spark, SF).collect()}
     bloom = {tuple(r) for r in reg["decontam_bloom"].fn(spark, SF).collect()}
     assert bloom == exact
+
+
+def test_importance_sample_two_scans_one_broadcast(spark):
+    """DSIR scoring must pay exactly TWO corpus tokenize+hash passes —
+    one to fit the bucket stats, one to score — with the bounded stats
+    (<= DSIR_B rows) re-joined by broadcast hash join; no shuffle join,
+    no nested-loop/cross join, and map-side partial_sum before the final
+    per-doc exchange. Guards against the four-branch regression that
+    re-scanned the token stream per stats branch (5 corpus scans)."""
+    from pdf_extract_spark.queries import load_all
+
+    plan = _plan(load_all()["importance_sample"].fn(spark, SF))
+    assert plan.count("FileScan parquet") == 2
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_sum" in plan
