@@ -344,14 +344,86 @@ def extract_main_text(html: str) -> str:
     return "\n\n".join(out).strip()
 
 
+# --- charset sniffing (WHATWG encoding-sniffing, simplified) ---------------
+# Real Common-Crawl HTML is ~5-10% non-UTF-8. We honor DECLARED encodings:
+# a byte-order mark, or a <meta charset=...> / <meta http-equiv=content-type>
+# inside the first 1024 bytes (the WHATWG prescan window). Undeclared
+# non-UTF-8 still quarantines as invalid_utf8 — a deliberate divergence from
+# WHATWG's default-to-windows-1252: for training data, silently mojibaked
+# text is worse than a quarantined row, and the quarantine table keeps the
+# payload recoverable. Deterministic: pure function of the bytes.
+#
+# Label table per the WHATWG Encoding standard's label->encoding mapping for
+# the cases that dominate crawls; notably latin1/iso-8859-1/ascii are all
+# LABELS FOR windows-1252 (cp1252), and a meta-declared utf-16 is decoded as
+# utf-8 (spec: a document with an in-band ASCII meta tag cannot really be
+# utf-16; the spec maps it to utf-8).
+_CHARSET_LABELS = {
+    "utf-8": "utf-8", "utf8": "utf-8", "unicode-1-1-utf-8": "utf-8",
+    "windows-1252": "cp1252", "cp1252": "cp1252", "x-cp1252": "cp1252",
+    "iso-8859-1": "cp1252", "iso8859-1": "cp1252", "latin1": "cp1252",
+    "latin-1": "cp1252", "l1": "cp1252", "ascii": "cp1252",
+    "us-ascii": "cp1252", "iso-8859-15": "iso-8859-15",
+    "windows-1251": "cp1251", "koi8-r": "koi8-r",
+    "shift_jis": "shift_jis", "shift-jis": "shift_jis", "sjis": "shift_jis",
+    "euc-jp": "euc_jp", "gbk": "gbk", "gb2312": "gbk", "gb18030": "gb18030",
+    "big5": "big5", "euc-kr": "euc_kr",
+    "utf-16": "utf-8", "utf-16le": "utf-8", "utf-16be": "utf-8",
+}
+
+# prescan regexes run on a latin-1 "lens" of the first 1024 bytes (every
+# byte maps to one char, so byte offsets == char offsets and ASCII tag
+# syntax is visible regardless of the document's actual encoding)
+_META_RE = re.compile(
+    r"<meta\s[^>]*>|<!--.*?-->", re.IGNORECASE | re.DOTALL)
+_CHARSET_ATTR_RE = re.compile(
+    r"""charset\s*=\s*["']?\s*([a-zA-Z0-9._:-]+)""", re.IGNORECASE)
+
+
+def sniff_encoding(payload: bytes) -> tuple[str | None, bool]:
+    """(python_codec | None, bom_found). BOM wins over meta; meta charset
+    is taken from the first <meta> in the first 1024 bytes that carries a
+    recognized label (comments skipped). None = no declaration found."""
+    if payload[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig", True
+    if payload[:2] == b"\xff\xfe":
+        return "utf-16-le", True
+    if payload[:2] == b"\xfe\xff":
+        return "utf-16-be", True
+    head = payload[:1024].decode("latin-1")
+    for m in _META_RE.finditer(head):
+        tok = m.group(0)
+        if tok.startswith("<!--"):
+            continue
+        c = _CHARSET_ATTR_RE.search(tok)
+        if c:
+            codec = _CHARSET_LABELS.get(c.group(1).lower())
+            if codec:
+                return codec, False
+    return None, False
+
+
 def decode_html_bytes(payload: bytes) -> tuple[str | None, str | None]:
-    """(text, error) from raw HTML bytes. Strict UTF-8; bad bytes quarantine."""
+    """(text, error) from raw HTML bytes. Declared encodings (BOM or meta
+    charset prescan) are honored; otherwise strict UTF-8; undeclared
+    non-UTF-8 and declared-but-unfaithful payloads quarantine."""
     if not payload:
         return None, "empty_payload"
-    try:
-        html = payload.decode("utf-8")
-    except UnicodeDecodeError:
-        return None, "invalid_utf8"
+    codec, bom = sniff_encoding(payload)
+    if codec is not None:
+        if bom and codec.startswith("utf-16"):
+            payload = payload[2:]  # strip the BOM the codec would echo
+        try:
+            html = payload.decode(codec)
+        except (UnicodeDecodeError, LookupError):
+            # declaration present but the bytes don't conform: quarantine
+            # under its own error so crawl-side lies are auditable
+            return None, "charset_mismatch"
+    else:
+        try:
+            html = payload.decode("utf-8")
+        except UnicodeDecodeError:
+            return None, "invalid_utf8"
     if "\x00" in html:
         # WHATWG: NULs in markup are parse errors (replaced); html.parser
         # handles them irregularly mid-tag — normalize them away so both

@@ -380,3 +380,61 @@ def test_rawtext_close_tag_boundary_matches_reference():
     ]
     for html in cases:
         assert _collect_blocks(html) == _collect_blocks_reference(html), html
+
+
+def _content_html(body: str) -> str:
+    """A page whose <article> passes the block classifier."""
+    para = ("word " * 30).strip()
+    return (f"<html><head>{body}</head><body>"
+            f"<article><p>{para} café résumé</p></article>"
+            "</body></html>")
+
+
+def test_charset_meta_cp1252():
+    html = _content_html('<meta charset="iso-8859-1">')
+    text, err = decode_html_bytes(html.encode("cp1252"))
+    assert err is None and "café résumé" in text
+    # http-equiv form and quoting variants
+    html2 = _content_html(
+        "<meta http-equiv='Content-Type' "
+        "content='text/html; charset=latin1'>")
+    text2, err2 = decode_html_bytes(html2.encode("cp1252"))
+    assert err2 is None and "café" in text2
+
+
+def test_charset_bom_variants():
+    html = _content_html("")
+    base, _ = decode_html_bytes(html.encode("utf-8"))
+    t8, e8 = decode_html_bytes(b"\xef\xbb\xbf" + html.encode("utf-8"))
+    assert e8 is None and t8 == base
+    t16l, e16l = decode_html_bytes(html.encode("utf-16-le").join(
+        [b"\xff\xfe", b""]))
+    assert e16l is None and t16l == base
+    t16b, e16b = decode_html_bytes(b"\xfe\xff" + html.encode("utf-16-be"))
+    assert e16b is None and t16b == base
+
+
+def test_charset_prescan_limits_and_fallbacks():
+    # declaration beyond the 1024-byte prescan window is NOT honored
+    far = ("<html><head>" + "<!-- pad -->" * 100
+           + '<meta charset="iso-8859-1">').encode("ascii")
+    payload = far + " café".encode("cp1252")
+    assert decode_html_bytes(payload)[1] == "invalid_utf8"
+    # meta inside a comment is skipped
+    c = _content_html('<!-- <meta charset="utf-16"> -->')
+    assert decode_html_bytes(c.encode("utf-8"))[1] is None
+    # unknown label falls through to strict utf-8
+    u = _content_html('<meta charset="klingon">')
+    assert decode_html_bytes(u.encode("utf-8"))[1] is None
+    # declared encoding the bytes do not conform to: its own quarantine
+    lie = _content_html('<meta charset="utf-8">').encode("cp1252")
+    assert decode_html_bytes(lie)[1] == "charset_mismatch"
+    # WHATWG: meta-declared utf-16 means utf-8 bytes in practice
+    m16 = _content_html('<meta charset="utf-16">')
+    assert decode_html_bytes(m16.encode("utf-8"))[1] is None
+
+
+def test_charset_undeclared_still_quarantines():
+    # no BOM, no meta: non-UTF-8 bytes stay quarantined (no mojibake)
+    payload = _content_html("").encode("cp1252")
+    assert decode_html_bytes(payload)[1] == "invalid_utf8"
