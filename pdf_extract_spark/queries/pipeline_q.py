@@ -994,3 +994,152 @@ def importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").cast("bigint").alias("n_tok"),
                  F.sum("bits").cast("bigint").alias("llr_bits"),
                  (F.sum("bits") > 0).alias("selected")))
+
+
+# --- intra-document line dedup (RefinedWeb line-wise filtering) --------------
+# RefinedWeb (Penedo et al. 2023) removes DUPLICATED LINES WITHIN a
+# document (nav menus, sidebars, share buttons repeated by the template
+# engine) before any corpus-level pass — dedup_paragraph's corpus-wide
+# discipline cannot express this (it keeps the FIRST carrier corpus-wide;
+# here every doc keeps its own first copy). Fixture prose has no line
+# structure, so repetition is injected deterministically (the _INJECT /
+# dedup_paragraph banner discipline): a 6-word sidebar line (5 variants
+# keyed by doc_id % 5) is prepended 1 + doc_id % 3 times, then the word
+# stream chunks into fixed LINE_W-word "lines" — docs with doc_id % 3 > 0
+# carry genuine intra-doc duplicates, the rest are control rows.
+
+LINE_W = 6  # words per line (== sidebar length, so each copy is one line)
+
+_SPARK_LINE_RAW = (
+    "concat(repeat(concat('sidebar home about contact privacy v',"
+    " CAST(doc_id % 5 AS STRING), ' '), CAST(1 + doc_id % 3 AS INT)), text)")
+_DUCK_LINE_RAW = (
+    "repeat('sidebar home about contact privacy v'"
+    " || CAST(doc_id % 5 AS VARCHAR) || ' ',"
+    " CAST(1 + doc_id % 3 AS INT)) || text")
+
+
+@register(
+    "line_dedup",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split({_DUCK_LINE_RAW}, ' ') AS w
+               FROM documents),
+    l AS (SELECT doc_id,
+                 list_transform(
+                   range(0, CAST(ceil(len(w) / {LINE_W}.0) AS INT)),
+                   i -> array_to_string(
+                     w[i * {LINE_W} + 1 : i * {LINE_W} + {LINE_W}], ' '))
+                   AS lines
+          FROM w),
+    k AS (SELECT doc_id, lines,
+                 list_filter(lines,
+                             (x, i) -> list_position(lines, x) = i) AS kept
+          FROM l)
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           array_to_string(kept, ' ') AS clean_text
+    FROM k
+    """,
+)
+def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document duplicate-line removal (RefinedWeb line-wise
+    filtering): chunk each doc into fixed {LINE_W}-word lines, keep only
+    the FIRST occurrence of each distinct line WITHIN the doc, reassemble
+    in original order. Complements dedup_paragraph (corpus-wide first
+    occurrence) and doc_repetition (signals only, no removal).
+
+    Scale: a pure narrow projection — split / transform / filter-with-
+    index / array_join are all per-row higher-order functions inside
+    whole-stage codegen; ZERO shuffles, zero joins, no window, perfectly
+    data-parallel at any corpus size (plan-asserted like pii_scrub).
+    The first-occurrence test is array_position(lines, x) == i + 1 —
+    O(lines²) per doc in the worst case, bounded by document length,
+    never by corpus size."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    w = docs.select(
+        "doc_id", F.split(F.expr(_SPARK_LINE_RAW), " ").alias("w"))
+    lines = F.expr(
+        f"transform(sequence(0,"
+        f" CAST(ceil(size(w) / {LINE_W}.0) AS INT) - 1),"
+        f" i -> concat_ws(' ', slice(w, i * {LINE_W} + 1, {LINE_W})))")
+    out = w.select("doc_id", lines.alias("lines")).select(
+        "doc_id",
+        F.size("lines").cast("bigint").alias("n_lines"),
+        F.expr("filter(lines,"
+               " (x, i) -> array_position(lines, x) = i + 1)").alias("kept"))
+    return out.select(
+        "doc_id", "n_lines",
+        F.size("kept").cast("bigint").alias("n_kept"),
+        F.array_join("kept", " ").alias("clean_text"))
+
+
+# --- CCNet perplexity bucketing (head / middle / tail) -----------------------
+# CCNet (Wenzek et al. 2020) splits each language's corpus into three
+# equal-mass perplexity buckets — head (most fluent), middle, tail — by
+# computing cutoffs ON A SAMPLE and then assigning every document with a
+# narrow comparison. lm_surprisal supplies the per-doc score (mean
+# unigram surprisal in integer bits, already oracle-exact); this op adds
+# the bucketing itself.
+
+CCNET_SAMPLE = 240  # cutoff-fit sample size (fixed => bounded at any SF)
+
+
+@register(
+    "ccnet_bucket",
+    oracle=f"""
+    WITH surp AS ({{SURP}}),
+    samp AS (SELECT doc_id, mean_bits FROM surp
+             ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id
+             LIMIT {CCNET_SAMPLE}),
+    r AS (SELECT mean_bits,
+                 ROW_NUMBER() OVER (ORDER BY mean_bits, doc_id) AS rn,
+                 COUNT(*) OVER () AS cnt
+          FROM samp),
+    c AS (SELECT MAX(CASE WHEN rn * 3 <= cnt THEN mean_bits END) AS c1,
+                 MAX(CASE WHEN rn * 3 <= 2 * cnt THEN mean_bits END) AS c2
+          FROM r)
+    SELECT s.doc_id, s.mean_bits,
+           CASE WHEN s.mean_bits <= c.c1 THEN 'head'
+                WHEN s.mean_bits <= c.c2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM surp s CROSS JOIN c
+    """.replace("{SURP}", REGISTRY["lm_surprisal"].oracle.strip()),
+)
+def ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing: tertile cutoffs are
+    fit on a deterministic {CCNET_SAMPLE}-doc sample (ordered by
+    sha256(doc_id) — a content-independent pseudo-random draw both
+    engines replay exactly), then every document is assigned by
+    comparing its mean_bits against the two cutoff VALUES. Composes the
+    registered lm_surprisal signal, as quality_gate composes its gates.
+
+    Scale: the sample is a sort-limit — Spark plans TakeOrderedAndProject
+    (per-partition partial top-K, no global sort) — so the ONLY
+    unpartitioned window runs over <= {CCNET_SAMPLE} rows by construction
+    (the importance_sample bounded-frame idiom). The two cutoff scalars
+    reduce to ONE row, broadcast onto the corpus-sized frame; bucket
+    assignment itself is a narrow CASE. This is exactly how CCNet scales:
+    the cutoff fit is O(sample), assignment is embarrassingly parallel.
+    Tie-safety: rn * 3 <= cnt is pure integer arithmetic, and bucket
+    predicates compare against cutoff VALUES, so equal-scoring docs land
+    in the same bucket on both engines regardless of order."""
+    surp = REGISTRY["lm_surprisal"].fn(spark, sf_dir)
+    samp = (surp.select("doc_id", "mean_bits")
+            .orderBy(F.sha2(F.col("doc_id").cast("string"), 256), "doc_id")
+            .limit(CCNET_SAMPLE))
+    wall = Window.partitionBy()  # <= CCNET_SAMPLE rows by construction
+    r = samp.select(
+        "mean_bits",
+        F.row_number().over(wall.orderBy("mean_bits", "doc_id")).alias("rn"),
+        F.count("*").over(wall).alias("cnt"))
+    c = r.agg(
+        F.max(F.when(F.col("rn") * 3 <= F.col("cnt"),
+                     F.col("mean_bits"))).alias("c1"),
+        F.max(F.when(F.col("rn") * 3 <= 2 * F.col("cnt"),
+                     F.col("mean_bits"))).alias("c2"))
+    return (surp.crossJoin(F.broadcast(c))
+            .select("doc_id", "mean_bits",
+                    F.when(F.col("mean_bits") <= F.col("c1"), "head")
+                    .when(F.col("mean_bits") <= F.col("c2"), "middle")
+                    .otherwise("tail").alias("bucket")))

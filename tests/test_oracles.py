@@ -65,6 +65,9 @@ SMOKE = [
     # identical — they share the sha variants' oracles verbatim)
     "dedup_paragraph_xx",
     "dedup_substring_xx",
+    # round-4 RefinedWeb/CCNet additions
+    "line_dedup",
+    "ccnet_bucket",
 ]
 
 

@@ -529,11 +529,34 @@ def test_narrow_corpus_prep_ops_have_no_exchange(spark):
     from pdf_extract_spark.queries import load_all
 
     reg = load_all()
-    for name in ("pii_scrub", "hash_split"):
+    for name in ("pii_scrub", "hash_split", "line_dedup"):
         plan = _plan(reg[name].fn(spark, SF))
         assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
         # "*(n)" is the whole-stage-codegen stage marker in the compact plan
         assert "*(1) Project" in plan, f"{name} left codegen:\n{plan}"
+
+
+def test_ccnet_bucket_bounded_sample_and_broadcast_cutoffs(spark):
+    """The cutoff fit must run on a sort-limit sample (planned as
+    TakeOrderedAndProject — per-partition partial top-K, never a global
+    sort), and the 1-row cutoff frame must BROADCAST onto the corpus
+    side; a SortMergeJoin anywhere would mean the scalars shuffled the
+    corpus. Also checks the removal semantics end-to-end: every injected
+    sidebar multi-copy doc loses exactly its extra copies in line_dedup."""
+    from pdf_extract_spark.queries import load_all
+
+    reg = load_all()
+    plan = _plan(reg["ccnet_bucket"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    rows = reg["line_dedup"].fn(spark, SF).collect()
+    for r in rows:
+        extra = r["doc_id"] % 3  # injected duplicate sidebar copies
+        assert r["n_lines"] - r["n_kept"] >= extra, r
+        assert not r["clean_text"].startswith(
+            "sidebar home about contact privacy v%d sidebar"
+            % (r["doc_id"] % 5)), r
 
 
 def test_lm_surprisal_broadcasts_lm_and_oov_fires(spark):
