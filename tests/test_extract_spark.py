@@ -294,3 +294,39 @@ def test_lineage_marker_is_single_atomic_file(spark, tmp_path_factory):
     # no temp droppings left behind
     assert not [n for n in _os.listdir(base) if n.startswith("_lineage_tmp")]
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_charset_declared_pages_flow_through_extract(spark):
+    """Charset-sniffing plumbing: declared-encoding payloads must decode
+    through the distributed operator byte-identically to the kernel, and
+    a lying declaration must land in quarantine as charset_mismatch."""
+    import datetime as dt
+
+    para = ("word " * 30).strip()
+    doc = (lambda head: f"<html><head>{head}</head><body>"
+           f"<article><p>{para} café résumé</p></article></body></html>")
+    ts = dt.datetime(2026, 1, 1)
+    rows = [
+        ("cs://meta-cp1252", ts,
+         doc('<meta charset="iso-8859-1">').encode("cp1252"), None, "en"),
+        ("cs://bom-utf8", ts,
+         b"\xef\xbb\xbf" + doc("").encode("utf-8"), None, "en"),
+        ("cs://bom-utf16le", ts,
+         b"\xff\xfe" + doc("").encode("utf-16-le"), None, "en"),
+        ("cs://lying-decl", ts,
+         doc('<meta charset="utf-8">').encode("cp1252"), None, "en"),
+        ("cs://undeclared", ts, doc("").encode("cp1252"), None, "en"),
+    ]
+    df = spark.createDataFrame(rows, schema=pages.PAGES_SCHEMA)
+    got = _collect_shas(extract_text(df, num_partitions=3))
+    for url, _, payload, _, _ in rows:
+        text, err = decode_payload(payload)
+        assert got[url] == (text_sha256(text) if text is not None else None,
+                            err), url
+    assert got["cs://meta-cp1252"][1] is None
+    assert got["cs://bom-utf16le"][1] is None
+    assert got["cs://lying-decl"][1] == "charset_mismatch"
+    assert got["cs://undeclared"][1] == "invalid_utf8"
+    # the two BOM/meta decodes must agree with the plain-utf8 text
+    plain, _ = decode_payload(doc("").encode("utf-8"))
+    assert got["cs://bom-utf8"][0] == text_sha256(plain)
