@@ -91,6 +91,9 @@ BENCH_QUERIES = [
     "dedup_semantic",
     "decontam_bloom",
     "importance_sample",
+    # round-4 RefinedWeb/CCNet additions
+    "line_dedup",
+    "ccnet_bucket",
 ]
 
 
