@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     # round-4 RefinedWeb/CCNet additions
     "line_dedup",
     "ccnet_bucket",
+    "source_mix",
 ]
 
 

@@ -1143,3 +1143,78 @@ def ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(F.col("mean_bits") <= F.col("c1"), "head")
                     .when(F.col("mean_bits") <= F.col("c2"), "middle")
                     .otherwise("tail").alias("bucket")))
+
+
+# --- source-mixture weighting (temperature sampling across sources) ----------
+# Multi-source training corpora are not sampled at natural proportions:
+# GPT-3 / PaLM / LLaMA all re-weight sources by a temperature
+# p_i ∝ (n_i / N)^alpha with alpha < 1, up-sampling small curated
+# sources and down-sampling the bulk crawl. The documents table's
+# `source` column is exactly that grouping.
+
+MIX_ALPHA = 0.5  # alpha = 1/2 => sqrt — bit-identical in both engines
+                 # (pow with non-integer exponents is libm territory;
+                 # sqrt is an IEEE 754 correctly-rounded primitive)
+
+
+@register(
+    "source_mix",
+    oracle="""
+    WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY source),
+    t AS (SELECT source, n_docs,
+                 CAST(SUM(n_docs) OVER () AS BIGINT) AS total,
+                 sqrt(CAST(n_docs AS DOUBLE)
+                      / CAST(SUM(n_docs) OVER () AS DOUBLE)) AS w_raw
+          FROM s),
+    z AS (SELECT source, n_docs, total, w_raw,
+                 SUM(w_raw) OVER (ORDER BY source
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING) AS z
+          FROM t)
+    SELECT source, n_docs,
+           w_raw / z AS mix_weight,
+           (w_raw / z) / (CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE))
+             AS repeat_factor
+    FROM z
+    """,
+)
+def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixture: per-source sampling weight
+    p_i = (n_i/N)^{MIX_ALPHA} / Z and the resulting repeat factor
+    p_i / (n_i/N) — >1 means the source is up-sampled (seen more than
+    once per epoch of the mixture), <1 down-sampled. alpha is fixed at
+    1/2 so the power is sqrt, an IEEE-correctly-rounded primitive both
+    engines compute bit-identically; the normalizer Z sums the per-source
+    weights in explicit source order (an ORDERED window over the bounded
+    per-source frame), so the float addition sequence — and hence the
+    last ulp — is engine-independent.
+
+    Scale: ONE groupBy(source) with map-side partial counts collapses
+    any corpus to n_sources rows per task; every window after that runs
+    on the n_sources-row frame (bounded by construction, the
+    importance_sample idiom). Per-doc materialization of the mixture is
+    a broadcast join away and deliberately not done here — the weights
+    table IS the product (it feeds the training sampler's config)."""
+    docs = tbl(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"))
+    wall = Window.partitionBy()  # <= n_sources rows by construction
+    t = s.select(
+        "source", "n_docs",
+        F.sum("n_docs").over(wall).cast("bigint").alias("total"))
+    t = t.withColumn(
+        "w_raw",
+        F.sqrt(F.col("n_docs").cast("double")
+               / F.col("total").cast("double")))
+    z = t.withColumn(
+        "z", F.sum("w_raw").over(
+            wall.orderBy("source")
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing)))
+    return z.select(
+        "source", "n_docs",
+        (F.col("w_raw") / F.col("z")).alias("mix_weight"),
+        ((F.col("w_raw") / F.col("z"))
+         / (F.col("n_docs").cast("double")
+            / F.col("total").cast("double"))).alias("repeat_factor"))

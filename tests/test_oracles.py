@@ -68,6 +68,7 @@ SMOKE = [
     # round-4 RefinedWeb/CCNet additions
     "line_dedup",
     "ccnet_bucket",
+    "source_mix",
 ]
 
 
