@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "line_dedup",
     "ccnet_bucket",
     "source_mix",
+    "link_graph",
 ]
 
 

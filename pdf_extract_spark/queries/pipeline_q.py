@@ -1218,3 +1218,85 @@ def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("w_raw") / F.col("z"))
          / (F.col("n_docs").cast("double")
             / F.col("total").cast("double"))).alias("repeat_factor"))
+
+
+# --- link graph: in-degree + one exact PageRank step -------------------------
+# Web-corpus curation uses LINK-GRAPH authority (Common Crawl publishes
+# harmonic-centrality/PageRank rankings; quality pipelines join them as
+# a per-page signal). The fixture documents carry no hrefs, so the edge
+# list is synthesized deterministically from doc_id (the _INJECT
+# discipline): doc d emits 1 + d % 4 out-links, link j targeting
+# (d*31 + j*17 + 7) mod n_docs — a dense pseudo-random digraph both
+# engines replay exactly.
+#
+# The authority column is ONE PageRank power-iteration step,
+# r(d) = sum over in-edges (src -> d) of 1 / out_degree(src), computed
+# EXACTLY: out-degrees lie in {1,2,3,4}, so contributions are summed as
+# integers scaled by lcm(1..4) = 12 (w = 12 / outdeg in {12,6,4,3}) and
+# divided back once at the end — no float accumulation order anywhere.
+
+LINK_LCM = 12  # lcm of the possible out-degrees {1,2,3,4}
+
+
+@register(
+    "link_graph",
+    oracle=f"""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    e AS (SELECT doc_id AS src,
+                 CAST(1 + doc_id % 4 AS BIGINT) AS out_degree,
+                 unnest(list_transform(
+                   range(0, CAST(1 + doc_id % 4 AS INT)),
+                   j -> (doc_id * 31 + j * 17 + 7) % n.n)) AS dst
+          FROM documents CROSS JOIN n),
+    ind AS (SELECT dst,
+                   CAST(COUNT(*) AS BIGINT) AS in_degree,
+                   CAST(COUNT(DISTINCT src) AS BIGINT) AS n_src,
+                   CAST(SUM({LINK_LCM} / out_degree) AS BIGINT) AS units
+            FROM e GROUP BY dst)
+    SELECT d.doc_id,
+           CAST(1 + d.doc_id % 4 AS BIGINT) AS out_degree,
+           COALESCE(i.in_degree, 0) AS in_degree,
+           COALESCE(i.n_src, 0) AS n_src,
+           CAST(COALESCE(i.units, 0) AS DOUBLE) / {LINK_LCM}.0 AS authority
+    FROM documents d LEFT JOIN ind i ON i.dst = d.doc_id
+    """,
+)
+def link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph authority signals per page: out-degree, in-degree,
+    distinct inlinking sources, and one exact PageRank power-iteration
+    step (authority = sum of 1/out_degree(src) over in-edges, computed
+    in integer {LINK_LCM}ths so no float accumulation order crosses the
+    engine boundary — the lm_surprisal no-libm discipline applied to
+    graph rank).
+
+    Scale: the edge explode is bounded ×4 per doc; in-degree/units are
+    ONE groupBy(dst) with map-side partial SUM/COUNT (a hub page with
+    10^9 inlinks collapses to one partial per task — the hot-key shape
+    groupBy handles and a window would not), and COUNT(DISTINCT src)
+    plans as Spark's two-level partial-distinct expansion. The corpus
+    size reaches the plan as a 1-row broadcast (the lm_surprisal total
+    idiom), and the final enrichment is a doc_id-keyed left join. At
+    real scale src/dst are xxhash64(url) keys from an href-extraction
+    kernel pass; nothing about the aggregation changes."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.count("*").cast("bigint").alias("n"))
+    e = (docs.crossJoin(F.broadcast(n))
+         .select(F.col("doc_id").alias("src"),
+                 (1 + F.col("doc_id") % 4).cast("bigint").alias("out_degree"),
+                 F.explode(F.expr(
+                     "transform(sequence(0, CAST(doc_id % 4 AS INT)),"
+                     " j -> (doc_id * 31 + j * 17 + 7) % n)")).alias("dst")))
+    ind = e.groupBy("dst").agg(
+        F.count("*").cast("bigint").alias("in_degree"),
+        F.countDistinct("src").cast("bigint").alias("n_src"),
+        F.sum(F.lit(LINK_LCM) / F.col("out_degree")).cast("bigint")
+        .alias("units"))
+    return (docs.join(ind, docs.doc_id == ind.dst, "left")
+            .select(
+                "doc_id",
+                (1 + F.col("doc_id") % 4).cast("bigint").alias("out_degree"),
+                F.coalesce("in_degree", F.lit(0)).cast("bigint")
+                .alias("in_degree"),
+                F.coalesce("n_src", F.lit(0)).cast("bigint").alias("n_src"),
+                (F.coalesce("units", F.lit(0)).cast("double")
+                 / F.lit(float(LINK_LCM))).alias("authority")))

@@ -69,6 +69,7 @@ SMOKE = [
     "line_dedup",
     "ccnet_bucket",
     "source_mix",
+    "link_graph",
 ]
 
 
