@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "ccnet_bucket",
     "source_mix",
     "link_graph",
+    "link_rank",
 ]
 
 

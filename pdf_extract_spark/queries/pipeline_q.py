@@ -1300,3 +1300,77 @@ def link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("n_src", F.lit(0)).cast("bigint").alias("n_src"),
                 (F.coalesce("units", F.lit(0)).cast("double")
                  / F.lit(float(LINK_LCM))).alias("authority")))
+
+
+LINK_RANK_ITERS = 3  # unrolled power iterations (rank units: 12^k)
+
+
+@register(
+    "link_rank",
+    oracle=f"""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    e AS (SELECT doc_id AS src,
+                 CAST({LINK_LCM} / (1 + doc_id % 4) AS BIGINT) AS w,
+                 unnest(list_transform(
+                   range(0, CAST(1 + doc_id % 4 AS INT)),
+                   j -> (doc_id * 31 + j * 17 + 7) % n.n)) AS dst
+          FROM documents CROSS JOIN n),
+    r1 AS (SELECT e.dst AS doc_id, CAST(SUM(e.w) AS BIGINT) AS u
+           FROM e GROUP BY e.dst),
+    r2 AS (SELECT e.dst AS doc_id, CAST(SUM(r1.u * e.w) AS BIGINT) AS u
+           FROM e JOIN r1 ON r1.doc_id = e.src GROUP BY e.dst),
+    r3 AS (SELECT e.dst AS doc_id, CAST(SUM(r2.u * e.w) AS BIGINT) AS u
+           FROM e JOIN r2 ON r2.doc_id = e.src GROUP BY e.dst)
+    SELECT d.doc_id,
+           CAST(COALESCE(r3.u, 0) AS BIGINT) AS rank_units,
+           CAST(COALESCE(r3.u, 0) AS DOUBLE)
+             / {LINK_LCM}.0 / {LINK_LCM}.0 / {LINK_LCM}.0 AS rank
+    FROM documents d LEFT JOIN r3 ON r3.doc_id = d.doc_id
+    """,
+)
+def link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank ({LINK_RANK_ITERS} power iterations, no
+    damping) over the synthesized link graph, EXACT end to end: iteration
+    k's ranks are integers in units of {LINK_LCM}^k (each edge multiplies
+    by the integer {LINK_LCM}/out_degree), divided back to a double once
+    at the very end — iterative graph rank with zero float accumulation,
+    so the DuckDB oracle replays it bit-for-bit. The uniform start vector
+    (1 per page) makes iteration 1 identical to link_graph's authority
+    column scaled by {LINK_LCM}.
+
+    Scale: the canonical Spark iterative-graph shape — a LOOP of
+    (join ranks to edges on src) + (groupBy dst with map-side partial
+    SUM), one bounded shuffle pair per iteration, the edge list reused
+    across iterations (a real job would persist it; ~K·|E| total traffic
+    for K iterations). No corpus-sized window, no driver collect; hub
+    in-degree collapses map-side exactly as in link_graph. Unit growth is
+    the exactness price: units stay < 2^63 while n·{LINK_LCM}^k·d_max
+    does — production would switch to doubles after verifying a prefix
+    exactly."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.count("*").cast("bigint").alias("n"))
+    e = (docs.crossJoin(F.broadcast(n))
+         .select(F.col("doc_id").alias("src"),
+                 (F.lit(LINK_LCM) / (1 + F.col("doc_id") % 4))
+                 .cast("bigint").alias("w"),
+                 F.explode(F.expr(
+                     "transform(sequence(0, CAST(doc_id % 4 AS INT)),"
+                     " j -> (doc_id * 31 + j * 17 + 7) % n)")).alias("dst")))
+    ranks = e.groupBy("dst").agg(
+        F.sum("w").cast("bigint").alias("u")).withColumnRenamed("dst", "rid")
+    for _ in range(LINK_RANK_ITERS - 1):
+        ranks = (e.join(ranks, e.src == ranks.rid)
+                 .groupBy("dst")
+                 .agg(F.sum(F.col("u") * F.col("w")).cast("bigint")
+                      .alias("u"))
+                 .withColumnRenamed("dst", "rid"))
+    # divide back in three successive steps — the same IEEE operation
+    # sequence as the oracle's /12.0/12.0/12.0 (one /1728.0 could round
+    # differently in the last ulp)
+    return (docs.join(ranks, docs.doc_id == ranks.rid, "left")
+            .select("doc_id",
+                    F.coalesce("u", F.lit(0)).cast("bigint")
+                    .alias("rank_units"),
+                    (F.coalesce("u", F.lit(0)).cast("double")
+                     / F.lit(LINK_LCM) / F.lit(LINK_LCM) / F.lit(LINK_LCM))
+                    .alias("rank")))

@@ -70,6 +70,7 @@ SMOKE = [
     "ccnet_bucket",
     "source_mix",
     "link_graph",
+    "link_rank",
 ]
 
 
