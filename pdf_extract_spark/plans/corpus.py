@@ -743,3 +743,24 @@ def job_digest(out_dir: str) -> str:
     if split_lin is None or pack_lin is None:
         raise RuntimeError("job not fully committed")
     return f"{split_lin['digest']}:{pack_lin['digest']}"
+
+
+def export_jsonl(spark: SparkSession, out_dir: str, dest: str,
+                 split: str = "train", compress: bool = True) -> str:
+    """Export one split of a finished job as JSONL — one
+    ``{"url","lang","text"}`` object per line, the interchange format
+    training data loaders consume (C4/Dolma/RedPajama all ship JSONL).
+    A distributed ``DataFrameWriter.json`` write: one ``part-*.json.gz``
+    file per partition, gzip-codec'd executor-side, no driver
+    materialization — at 100 TB this is the same parallel write as the
+    parquet stages, just a different encoder. Reads the committed
+    split-stage table, so an interrupted export can simply re-run
+    (mode=overwrite, source immutable)."""
+    df = (corpus(spark, out_dir)
+          .filter(F.col("split") == split)
+          .select("url", "lang", "text"))
+    w = df.write.mode("overwrite")
+    if compress:
+        w = w.option("compression", "gzip")
+    w.json(dest)
+    return dest

@@ -213,3 +213,26 @@ def test_rerun_of_complete_job_is_all_skips(spark, job):
     out, _ = job
     stats = run_corpus_prep(spark, out, pages=None, num_partitions=16)
     assert all(s["status"] == "skipped" for s in stats["stages"].values())
+
+
+def test_export_jsonl_roundtrip(job, spark, tmp_path):
+    """The JSONL export must hold exactly the train-split documents,
+    readable back by any JSON-lines consumer, gzip'd executor-side."""
+    import glob
+    import gzip
+    import json as _json
+
+    from pdf_extract_spark.plans.corpus import corpus, export_jsonl
+
+    out, _ = job
+    dest = str(tmp_path / "train_jsonl")
+    export_jsonl(spark, out, dest, split="train")
+    train = corpus(spark, out).filter("split = 'train'")
+    back = spark.read.json(dest)
+    assert back.count() == train.count()
+    assert set(back.columns) == {"url", "lang", "text"}
+    parts = glob.glob(f"{dest}/part-*.json.gz")
+    assert parts, "expected gzip part files"
+    with gzip.open(parts[0], "rt") as fh:
+        row = _json.loads(fh.readline())
+    assert {"url", "lang", "text"} <= set(row)
