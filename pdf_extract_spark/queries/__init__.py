@@ -74,6 +74,7 @@ def load_all() -> dict[str, Query]:
     from . import search_q  # noqa: F401
     from . import media_q  # noqa: F401
     from . import pipeline_q  # noqa: F401
+    from . import model_q  # noqa: F401
     return REGISTRY
 
 

@@ -71,6 +71,12 @@ SMOKE = [
     "source_mix",
     "link_graph",
     "link_rank",
+    # round-4 model-fit-backed curation ops
+    "nb_classify",
+    "bpe_pair_counts",
+    "bpe_train",
+    "bpe_encode",
+    "kmeans_embed",
 ]
 
 

@@ -977,3 +977,75 @@ def test_importance_sample_two_scans_one_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_sum" in plan
+
+
+def test_nb_classify_fit_is_bounded_predict_broadcasts(spark):
+    """The NB classifier's fit must collapse to the bounded (lang, bucket)
+    stats via map-side partials and rejoin the token stream by broadcast
+    hash join only; the per-doc argmax is a hash-aggregate string MIN —
+    no window anywhere, no shuffle join, no driver collect."""
+    from pdf_extract_spark.queries import load_all
+
+    plan = _plan(load_all()["nb_classify"].fn(spark, SF))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "partial_min" in plan  # the fixed-width-string argmax
+
+
+def test_nb_classify_beats_prior(spark):
+    """The fit must actually learn: held-out accuracy above the uniform
+    prior over the 5 fixture languages (deterministic at this SF)."""
+    from pdf_extract_spark.queries import load_all
+
+    rows = load_all()["nb_classify"].fn(spark, SF).collect()
+    test = [r for r in rows if not r["is_train"]]
+    acc = sum(1 for r in test if r["correct"]) / len(test)
+    assert acc > 0.25, acc
+
+
+def test_bpe_merge_counts_non_increasing(spark):
+    """Greedy BPE invariant: a pair created by merge k occurs at most as
+    often as the pair merged at k did, so selected counts never increase
+    with rank."""
+    from pdf_extract_spark.queries import load_all
+
+    rows = (load_all()["bpe_train"].fn(spark, SF)
+            .orderBy("rank").collect())
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    assert len(rows) == 8 and len({r["merge"] for r in rows}) == 8
+
+
+def test_bpe_encode_vocab_broadcast_no_window(spark):
+    """Encoding applies the merge chain to the DISTINCT-word table and
+    broadcast-joins it back: the corpus side must not shuffle for the
+    join and no window may appear."""
+    from pdf_extract_spark.queries import load_all
+
+    plan = _plan(load_all()["bpe_encode"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_kmeans_final_assignment_is_narrow(spark):
+    """Lloyd assignment rides literal broadcast centroids: the final
+    assignment pass over the cached iteration-1 frame is a pure narrow
+    projection — zero exchanges, zero joins."""
+    from pdf_extract_spark.queries.model_q import _kmeans_build
+
+    out, caches = _kmeans_build(spark, SF)
+    try:
+        plan = _plan(out)
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+        rows = out.collect()
+        ks = {r["c1"] for r in rows} | {r["c2"] for r in rows}
+        assert ks <= set(range(8))
+        assert 0 < sum(r["moved"] for r in rows) < len(rows)
+    finally:
+        for c in caches:
+            c.unpersist()
