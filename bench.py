@@ -97,6 +97,14 @@ BENCH_QUERIES = [
     "source_mix",
     "link_graph",
     "link_rank",
+    # round-4 model-fit-backed curation ops (bpe_train/encode and
+    # kmeans_embed pay their driver-side model fit inside the timing;
+    # bpe_encode reuses bpe_train's per-sf_dir merge cache)
+    "nb_classify",
+    "bpe_pair_counts",
+    "bpe_train",
+    "bpe_encode",
+    "kmeans_embed",
 ]
 
 

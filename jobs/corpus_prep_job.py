@@ -32,8 +32,8 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=32)
     ap.add_argument("--master", default=None)
     ap.add_argument("--fail-after", default=None, choices=[None] + [
-        "extract", "clean", "gate", "dedup_para", "dedup_doc", "split",
-        "pack"], help="crash-injection test hook")
+        "extract", "clean", "gate", "classify", "dedup_para", "dedup_doc",
+        "split", "pack"], help="crash-injection test hook")
     args = ap.parse_args()
 
     from pdf_extract_spark.session import get_spark

@@ -22,7 +22,8 @@ from pyspark.sql import DataFrame, functions as F
 
 EXTRACT_SCHEMA = (
     "url string, warc_ts timestamp, lang string, "
-    "text string, text_sha256 string, n_bytes long, error string"
+    "text string, text_sha256 string, n_bytes long, doc_kind string, "
+    "error string"
 )
 
 def salted_repartition(df: DataFrame, num_partitions: int,
@@ -83,6 +84,11 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "text": texts,
             "text_sha256": shas,
             "n_bytes": [len(r) for r in raws],
+            # container kind, from the same magic-byte dispatch the decode
+            # kernel uses — downstream label-trust decisions key on it
+            # (plans/corpus.classify_docs fits only on html-carried labels)
+            "doc_kind": ["pdf" if r[:5] == b"%PDF-" else "html"
+                         for r in raws],
             "error": [e for _, e in decoded],
         })
 

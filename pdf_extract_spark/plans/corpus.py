@@ -8,6 +8,7 @@ this is the corpus-scale equivalent over Common-Crawl-style pages):
     extract      pages(html binary) -> text           (operators/extract)
     clean        control-char normalize + PII scrub    (text_q/pipeline_q twins)
     gate         per-doc quality + domain reputation   (doc_quality/domain_gate)
+    classify     declared-vs-predicted language audit  (model_q.nb_classify twin)
     dedup_para   corpus-wide paragraph dedup (CCNet/C4, dedup_q.dedup_paragraph)
     dedup_doc    exact + MinHash-LSH near-dup clusters  (dedup_q suite)
     split        deterministic train/val/test + decontamination flags
@@ -41,6 +42,10 @@ Scale notes (the 100 TB shapes, per stage, all verified on .explain):
   groupBy(domain) with map-side partials, rejoined BY BROADCAST (the
   web's host count is ~10^8 — a few GB of (domain, verdict); beyond
   that the join key equals the agg key and co-partitions).
+- classify: NB fit collapses to the bounded C x CLS_B stats table
+  (map-side partials) rebroadcast onto the token stream; predict pays two
+  map-side-combined groupBys and one url equi-join — no window, no
+  collect, no pair expansion.
 - dedup_para: 3 bounded shuffles (groupBy(parahash) min, equi-join back,
   groupBy(url) reassembly); hot paragraphs (cookie banners in 10^6 docs)
   collapse map-side to one partial per task — no pair expansion exists.
@@ -74,7 +79,7 @@ from ..queries.text_q import _NORM_PASSES
 from ..queries.pipeline_q import _PAT_EMAIL, _PAT_IP, _PAT_PHONE
 from .pipeline import _is_torn_parquet, _sum_digest
 
-STAGES = ("extract", "clean", "gate", "dedup_para", "dedup_doc",
+STAGES = ("extract", "clean", "gate", "classify", "dedup_para", "dedup_doc",
           "split", "pack")
 
 QUAR_SCHEMA = "url string, stage string, error string"
@@ -89,6 +94,21 @@ N_BANDS = 4  # 2 permutations per band
 MAX_BUCKET = 64
 JACCARD_T = 0.5
 CONTAM_N = 8  # words per decontamination gram (GPT-3 appendix C scale op)
+CLS_B = 1 << 16   # NB classifier hashed-feature buckets. Wider than the
+#                   oracle twin's 4096 (model_q.NB_B) on purpose: an
+#                   OOV-heavy doc (layout-artifact PDFs) scores by bucket
+#                   COLLISIONS, and at 4096 buckets a ~200-token doc
+#                   collects enough accidental hits in one class to cross
+#                   CLS_MARGIN (observed: a two-column PDF drifting to zh).
+#                   65k buckets puts collision noise well under the margin;
+#                   the stats table stays bounded at C x CLS_B rows
+#                   (fastText-scale models use 2M buckets for the same
+#                   reason). Memory: ~5 x 65k longs, a few MB broadcast.
+CLS_MARGIN = 64   # integer bits of NB confidence before a declared-vs-
+#                   predicted language disagreement quarantines the doc
+#                   (CCNet drops docs whose fastText lang disagrees with
+#                   the expected language; margin gating keeps the rule
+#                   precision-first — short or ambiguous docs pass)
 PACK_BUDGET = 2048  # tokens per packed training sequence
 PACK_CHUNK = 4096  # docs per prefix-sum range (see queries/pipeline_q.seq_pack)
 
@@ -132,7 +152,7 @@ def clean_docs(docs: DataFrame) -> DataFrame:
             _PAT_IP, "<IP>"),
         _PAT_PHONE, "<PHONE>")
     return docs.select(
-        "url", "warc_ts", "lang",
+        "url", "warc_ts", "lang", "doc_kind",
         scrubbed.alias("text"),
         n_pii.alias("n_pii"),
     ).withColumn("text_sha", F.sha2("text", 256))
@@ -174,9 +194,84 @@ def gate_docs(docs: DataFrame) -> DataFrame:
     return (sig.join(F.broadcast(dom), "domain")
             .withColumn("reject_reason", reason)
             .withColumn("keep", F.col("reject_reason").isNull())
-            .select("url", "warc_ts", "lang", "text", "text_sha",
-                    "n_words", "domain", "dom_dup_frac",
+            .select("url", "warc_ts", "lang", "doc_kind", "text",
+                    "text_sha", "n_words", "domain", "dom_dup_frac",
                     "keep", "reject_reason"))
+
+
+def classify_docs(docs: DataFrame) -> DataFrame:
+    """Declared-vs-predicted language gate (the CCNet rule: drop documents
+    whose classifier language disagrees with the expected language): fit a
+    multinomial Naive-Bayes language model on the corpus's TRUSTED labeled
+    subset, predict every doc, and quarantine only CONFIDENT
+    disagreements — predicted != declared AND the NB bit-score margin
+    >= CLS_MARGIN. The relational skeleton is queries/model_q.nb_classify
+    (oracle-proven value-exact there); this production stage swaps sha256
+    feature hashing for xxhash64 (the _doc_key discipline — no oracle
+    constraint inside the job).
+
+    The fit uses HTML-carried labels ONLY (doc_kind == 'html'): an HTML
+    page's lang label comes from its own markup/content, while a crawl
+    PDF's label is sidecar metadata — exactly the unreliable kind this
+    stage exists to audit. Fitting on everything (tried first) both
+    launders bad labels into the model AND creates a class-imbalance
+    artifact: layout-boilerplate tokens shared across languages are
+    relatively MORE probable under the smallest class's token budget, so
+    long all-boilerplate docs drift to that class with unbounded margin.
+    Seed-fitting removes both failure modes; out-of-vocabulary docs then
+    score near-uniformly and stay under the margin bar.
+
+    Scale shape: fit = one groupBy(lang, bucket) collapsing to <=
+    C·CLS_B rows + a C-row prior; predict = tokens ×C broadcast-stat
+    join, two map-side-combined groupBys, fixed-width-string argmax MIN;
+    the verdict re-joins the stage table by url (the same shuffle the
+    dedup stages pay). No corpus-sized window, no driver collect."""
+    tk = (docs.select("url", "lang", "doc_kind",
+                      F.explode(F.split("text", _WORD_SEP)).alias("w"))
+          .filter(F.col("w") != ""))
+    bk = tk.select("url", "lang", "doc_kind",
+                   F.pmod(F.xxhash64("w"), F.lit(CLS_B)).alias("b"))
+    seed = bk.filter(F.col("doc_kind") == "html")
+    stats = (seed.groupBy(F.col("lang").alias("c"), "b")
+             .agg(F.count("*").cast("bigint").alias("n")))
+    cls = stats.groupBy("c").agg(F.sum("n").cast("bigint").alias("nc"))
+    pri = (docs.filter(F.col("doc_kind") == "html")
+           .groupBy(F.col("lang").alias("c"))
+           .agg(F.count("*").cast("bigint").alias("dc")))
+    sc = (bk.crossJoin(F.broadcast(cls.select("c")))
+          .join(F.broadcast(stats), ["c", "b"], "left")
+          .groupBy("url", "lang", "c")
+          .agg(F.count("*").cast("bigint").alias("n_tok"),
+               F.sum(F.expr("length(bin(COALESCE(n, 0) + 1))"))
+               .cast("bigint").alias("s1")))
+    scored = (sc.join(F.broadcast(cls), "c")
+              .join(F.broadcast(pri), "c")
+              .select("url", "lang", "n_tok", "c",
+                      (F.col("s1")
+                       - F.col("n_tok") * F.expr(f"length(bin(nc + {CLS_B}))")
+                       + F.expr("length(bin(dc))")).alias("score")))
+    # argmax class via fixed-width-string MIN (hash-agg, no struct/sort);
+    # the declared class's own score rides along via a conditional MAX
+    verdict = (scored.groupBy("url", "lang")
+               .agg(F.min(F.concat(
+                        F.lpad((F.lit(100000) - F.col("score"))
+                               .cast("string"), 6, "0"),
+                        F.col("c"))).alias("k"),
+                    F.max(F.when(F.col("c") == F.col("lang"),
+                                 F.col("score"))).alias("own"))
+               .select("url",
+                       F.expr("substr(k, 7)").alias("pred_lang"),
+                       (F.lit(100000)
+                        - F.expr("CAST(substr(k, 1, 6) AS BIGINT)")
+                        - F.col("own")).cast("bigint").alias("lang_margin")))
+    out = docs.join(verdict, "url", "left")
+    mismatch = ((F.col("pred_lang") != F.col("lang"))
+                & (F.col("lang_margin") >= CLS_MARGIN))
+    return (out.withColumn("pred_lang",
+                           F.coalesce("pred_lang", F.col("lang")))
+            .withColumn("lang_margin",
+                        F.coalesce("lang_margin", F.lit(0)).cast("bigint"))
+            .withColumn("keep", ~F.coalesce(mismatch, F.lit(False))))
 
 
 def dedup_paragraphs(docs: DataFrame) -> DataFrame:
@@ -612,7 +707,7 @@ def run_corpus_prep(
             raise ValueError("extract stage uncommitted and pages=None")
         ext = extract_text(pages, num_partitions=num_partitions)
         ok = (ext.filter(F.col("error").isNull())
-              .select("url", "warc_ts", "lang", "text",
+              .select("url", "warc_ts", "lang", "doc_kind", "text",
                       F.col("text_sha256").alias("text_sha")))
         quar = (ext.filter(F.col("error").isNotNull())
                 .select("url", F.lit("extract").alias("stage"), "error"))
@@ -638,12 +733,27 @@ def run_corpus_prep(
     else:
         gated = gate_docs(prev_docs)
         ok = (gated.filter(F.col("keep"))
-              .select("url", "warc_ts", "lang", "text", "text_sha",
-                      "n_words", "domain"))
+              .select("url", "warc_ts", "lang", "doc_kind", "text",
+                      "text_sha", "n_words", "domain"))
         quar = (gated.filter(~F.col("keep"))
                 .select("url", F.lit("gate").alias("stage"),
                         F.col("reject_reason").alias("error")))
         prev_docs, prev_n = _commit_docs_stage("gate", ok, quar, prev_n)
+
+    # --- classify (declared-vs-predicted language gate) ---
+    lin = _read_stage_lineage(out_dir, "classify")
+    if lin is not None:
+        prev_docs, prev_n = _skip("classify", lin)
+    else:
+        classified = classify_docs(prev_docs)
+        ok = (classified.filter(F.col("keep"))
+              .select("url", "warc_ts", "lang", "text", "text_sha",
+                      "n_words", "domain"))
+        quar = (classified.filter(~F.col("keep"))
+                .select("url", F.lit("classify").alias("stage"),
+                        F.concat(F.lit("lang_mismatch:"),
+                                 F.col("pred_lang")).alias("error")))
+        prev_docs, prev_n = _commit_docs_stage("classify", ok, quar, prev_n)
 
     # --- dedup_para ---
     lin = _read_stage_lineage(out_dir, "dedup_para")

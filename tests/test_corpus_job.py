@@ -25,6 +25,7 @@ from pdf_extract_spark.plans.corpus import (
 
 N_SYNTH = 240
 N_PAIRS = 8
+N_MISDECL = 2  # pages whose declared lang contradicts their text
 TS = dt.datetime(2024, 5, 1, tzinfo=dt.timezone.utc)
 
 
@@ -51,11 +52,28 @@ def _planted_rows():
     return rows
 
 
+def _misdeclared_rows():
+    """Long English-vocab articles DECLARED as zh — the classify stage's
+    CCNet rule (predicted lang != declared, with margin) must quarantine
+    exactly these; every honestly-declared page passes because the NB fit
+    includes each doc's own tokens in its declared class."""
+    from pdf_extract_spark.fixtures.pages import _WORDS
+    rows = []
+    for m in range(N_MISDECL):
+        body = " ".join(_WORDS[(m * 7 + k) % len(_WORDS)]
+                        for k in range(300))
+        html = (f"<html><body><article><h2>misdeclared {m}</h2>"
+                f"<p>{body}</p></article></body></html>").encode()
+        rows.append((f"https://misdecl{m}.example.com/a", TS, html,
+                     None, "zh"))
+    return rows
+
+
 def _pages(spark):
     from pdf_extract_spark.sources.synth_pages import synth_pages
     base = synth_pages(spark, N_SYNTH, partitions=8)
     planted = spark.createDataFrame(
-        _planted_rows(),
+        _planted_rows() + _misdeclared_rows(),
         "url string, warc_ts timestamp, html binary, text string, "
         "lang string")
     return base.unionByName(planted)
@@ -72,18 +90,45 @@ def job(spark, tmp_path_factory):
 def test_all_stages_ran_and_accounted(job, spark):
     out, stats = job
     assert [s for s in stats["stages"]] == [
-        "extract", "clean", "gate", "dedup_para", "dedup_doc", "split",
-        "pack"]
+        "extract", "clean", "gate", "classify", "dedup_para", "dedup_doc",
+        "split", "pack"]
     for name, s in stats["stages"].items():
         assert s["status"] == "ran"
         if name not in ("extract", "pack"):
             # conservation: docs in = docs out + quarantined
             assert s["n_in"] == s["n_out"] + s["n_quarantined"], name
-    assert stats["stages"]["extract"]["n_in"] == N_SYNTH + 2 * N_PAIRS
+    assert stats["stages"]["extract"]["n_in"] == (
+        N_SYNTH + 2 * N_PAIRS + N_MISDECL)
     # adversarial synth pages (empty/truncated/non-utf8) must be in
     # quarantine, not silently dropped
     q = {r["error"] for r in quarantine_all(spark, out).collect()}
     assert {"empty_payload", "truncated_pdf", "invalid_utf8"} <= q
+
+
+def test_misdeclared_lang_quarantined_at_classify(job, spark):
+    """Precision property of the classify gate: every quarantined doc is
+    GENUINELY misdeclared — either a planted misdeclared page or one of
+    the fixture's real label bugs (make_pdf emits English text regardless
+    of the declared lang, so every non-en PDF is misdeclared; only those
+    with enough in-vocabulary evidence clear the CLS_MARGIN bar). Both
+    plants MUST be caught; no honestly-labeled page may be flagged."""
+    from pdf_extract_spark.fixtures.pages import make_rows_at
+
+    out, stats = job
+    rows = [r for r in quarantine_all(spark, out).collect()
+            if r["stage"] == "classify"]
+    assert len(rows) == stats["stages"]["classify"]["n_quarantined"]
+    urls = {r["url"] for r in rows}
+    plants = {f"https://misdecl{m}.example.com/a" for m in range(N_MISDECL)}
+    assert plants <= urls  # recall on the planted mislabels
+    assert all(r["error"] == "lang_mismatch:en" for r in rows)
+    # precision: every non-plant flag is a fixture-misdeclared PDF
+    # (declared non-en, %PDF- payload whose text is English)
+    idx = [int(u.rsplit("/", 1)[1]) for u in urls - plants]
+    assert idx, "the fixture's real label bugs should be caught too"
+    for i, (_, _, payload, _, lang) in zip(sorted(idx),
+                                           make_rows_at(sorted(idx))):
+        assert lang != "en" and payload[:5] == b"%PDF-", i
 
 
 def test_planted_near_dups_collapse(job, spark):
