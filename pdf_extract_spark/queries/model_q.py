@@ -386,7 +386,12 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KM_K = 8        # clusters (seeds: the KM_K lowest vec_ids)
 KM_Q = 64.0     # quantization scale
-KM_ITERS = 2    # unrolled Lloyd iterations
+KM_ITERS = 2    # DESCRIPTIVE ONLY: assignment passes in the hand-unrolled
+#                 pair (Spark a1→update→a2 / oracle cl0→a1→cl1→a2). The
+#                 two sides are unrolled in lockstep BY HAND — changing
+#                 this constant alone changes neither; extend both (add
+#                 an update+assign round to each) or generate both from
+#                 a shared loop if deeper unrolls are ever needed.
 
 _DUCK_QUANT = ("list_transform(embedding, x -> CAST(floor("
                f"CAST(x AS DOUBLE) * {KM_Q} + 0.5) AS BIGINT))")
@@ -480,23 +485,21 @@ def kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
-def _kmeans_build(spark: SparkSession, sf_dir: str):
-    """Plan builder (pre-checkpoint, so tests can assert the final
-    assignment pass is a narrow projection off the cached a1 — zero
-    exchanges); returns (out, persisted_frames)."""
-    emb = tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    qd = (emb.select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * F.lit(KM_Q) + F.lit(0.5))
-            .cast("bigint")).alias("q"))
-        .persist())
+_KM_CACHE: dict[str, tuple[list[list[float]], list[list[float]]]] = {}
+
+
+def _kmeans_fit(spark: SparkSession, sf_dir: str,
+                qd: DataFrame) -> tuple[list[list[float]], list[list[float]]]:
+    """(seed_centroids, updated_centroids), cached per sf_dir — the fitted
+    model (the SQ8-codebook / _bpe_fit discipline: a shared session must
+    not re-run the two collect jobs per invocation)."""
+    if sf_dir in _KM_CACHE:
+        return _KM_CACHE[sf_dir]
     seeds = (qd.filter(F.col("vec_id") < KM_K)
              .orderBy("vec_id").collect())
     c0 = [[float(v) for v in r["q"]] for r in seeds]
-    a1 = qd.withColumn("c1", _km_assign_col(F.col("q"), c0)).persist()
-    srows = (a1.select("c1", F.posexplode("q").alias("i", "v"))
+    srows = (qd.withColumn("c1", _km_assign_col(F.col("q"), c0))
+             .select("c1", F.posexplode("q").alias("i", "v"))
              .groupBy("c1", "i")
              .agg(F.sum("v").cast("bigint").alias("s"),
                   F.count("*").cast("bigint").alias("n"))
@@ -509,8 +512,25 @@ def _kmeans_build(spark: SparkSession, sf_dir: str):
     c1c = [([s / cnts[j] for s in sums[j]]  # exact: int64 / int64 in IEEE
             if j in cnts else c0[j])
            for j in range(KM_K)]
-    out = (a1.select(
-        "vec_id", "c1",
-        _km_assign_col(F.col("q"), c1c).alias("c2"))
-        .withColumn("moved", F.col("c1") != F.col("c2")))
-    return out, [a1, qd]
+    _KM_CACHE[sf_dir] = (c0, c1c)
+    return c0, c1c
+
+
+def _kmeans_build(spark: SparkSession, sf_dir: str):
+    """Plan builder (pre-checkpoint, so tests can assert the final
+    assignment pass is a narrow projection — zero exchanges); returns
+    (out, persisted_frames)."""
+    emb = tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qd = (emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(KM_Q) + F.lit(0.5))
+            .cast("bigint")).alias("q"))
+        .persist())
+    c0, c1c = _kmeans_fit(spark, sf_dir, qd)
+    out = (qd.withColumn("c1", _km_assign_col(F.col("q"), c0))
+           .withColumn("c2", _km_assign_col(F.col("q"), c1c))
+           .withColumn("moved", F.col("c1") != F.col("c2"))
+           .select("vec_id", "c1", "c2", "moved"))
+    return out, [qd]

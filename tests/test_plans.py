@@ -1049,3 +1049,21 @@ def test_kmeans_final_assignment_is_narrow(spark):
     finally:
         for c in caches:
             c.unpersist()
+
+
+def test_kmeans_centroids_cached_no_second_fit(spark, monkeypatch):
+    """A second kmeans_embed invocation in the same session must reuse
+    the per-sf_dir fitted centroids (the SQ8-codebook discipline), not
+    re-run the seed/update collect jobs."""
+    from pdf_extract_spark.queries import model_q
+
+    model_q._KM_CACHE.clear()
+    model_q.kmeans_embed(spark, SF).count()
+    assert SF in model_q._KM_CACHE
+
+    def guard(spark_, sf_dir, qd):
+        if sf_dir not in model_q._KM_CACHE:
+            raise AssertionError("fit re-ran despite cache")
+        return model_q._KM_CACHE[sf_dir]
+    monkeypatch.setattr(model_q, "_kmeans_fit", guard)
+    assert model_q.kmeans_embed(spark, SF).count() > 0
