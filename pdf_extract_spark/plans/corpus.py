@@ -221,11 +221,19 @@ def classify_docs(docs: DataFrame) -> DataFrame:
     Seed-fitting removes both failure modes; out-of-vocabulary docs then
     score near-uniformly and stay under the margin bar.
 
-    Scale shape: fit = one groupBy(lang, bucket) collapsing to <=
-    C·CLS_B rows + a C-row prior; predict = tokens ×C broadcast-stat
-    join, two map-side-combined groupBys, fixed-width-string argmax MIN;
-    the verdict re-joins the stage table by url (the same shuffle the
-    dedup stages pay). No corpus-sized window, no driver collect."""
+    Scale shape (and why it differs from nb_classify's relational ×C
+    form): the oracle twin expands tokens ×C and pays TWO corpus-sized
+    exchanges — measured as the priciest stage of the whole job at 300k
+    pages (227 s of 900 at local[2]). Here the per-bucket class counts
+    are pivoted into ONE broadcast map(b -> {class: n}) — bounded at
+    CLS_B rows — so the token stream is joined ONCE with no row
+    expansion, per-class bit-sums ride as C parallel SUM columns through
+    a SINGLE map-side-combined groupBy(url), and the argmax is
+    F.least over C fixed-width string keys (C class constants are a
+    C-row driver collect — a model artifact, the codebook discipline).
+    The verdict re-joins the stage table by url (the same shuffle the
+    dedup stages pay). No corpus-sized window, no pair expansion; the
+    decision arithmetic is unchanged bit for bit."""
     tk = (docs.select("url", "lang", "doc_kind",
                       F.explode(F.split("text", _WORD_SEP)).alias("w"))
           .filter(F.col("w") != ""))
@@ -238,32 +246,40 @@ def classify_docs(docs: DataFrame) -> DataFrame:
     pri = (docs.filter(F.col("doc_kind") == "html")
            .groupBy(F.col("lang").alias("c"))
            .agg(F.count("*").cast("bigint").alias("dc")))
-    sc = (bk.crossJoin(F.broadcast(cls.select("c")))
-          .join(F.broadcast(stats), ["c", "b"], "left")
-          .groupBy("url", "lang", "c")
-          .agg(F.count("*").cast("bigint").alias("n_tok"),
-               F.sum(F.expr("length(bin(COALESCE(n, 0) + 1))"))
-               .cast("bigint").alias("s1")))
-    scored = (sc.join(F.broadcast(cls), "c")
-              .join(F.broadcast(pri), "c")
-              .select("url", "lang", "n_tok", "c",
-                      (F.col("s1")
-                       - F.col("n_tok") * F.expr(f"length(bin(nc + {CLS_B}))")
-                       + F.expr("length(bin(dc))")).alias("score")))
-    # argmax class via fixed-width-string MIN (hash-agg, no struct/sort);
-    # the declared class's own score rides along via a conditional MAX
-    verdict = (scored.groupBy("url", "lang")
-               .agg(F.min(F.concat(
-                        F.lpad((F.lit(100000) - F.col("score"))
-                               .cast("string"), 6, "0"),
-                        F.col("c"))).alias("k"),
-                    F.max(F.when(F.col("c") == F.col("lang"),
-                                 F.col("score"))).alias("own"))
-               .select("url",
-                       F.expr("substr(k, 7)").alias("pred_lang"),
-                       (F.lit(100000)
-                        - F.expr("CAST(substr(k, 1, 6) AS BIGINT)")
-                        - F.col("own")).cast("bigint").alias("lang_margin")))
+    # class constants: C rows to the driver (the fitted model's scalar
+    # half; the bucket half stays distributed in the broadcast map)
+    consts = {r["c"]: (int(r["nc"]), int(r["dc"]))
+              for r in cls.join(pri, "c").collect()}
+    classes = sorted(consts)
+    bmap = (stats.groupBy("b")
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("c", "n"))).alias("m")))
+    j = bk.join(F.broadcast(bmap), "b", "left")
+    bits_cols = [
+        F.sum(F.expr(f"length(bin(COALESCE(m['{c}'], 0) + 1))"))
+        .cast("bigint").alias(f"_s_{i}")
+        for i, c in enumerate(classes)]
+    agg = (j.groupBy("url", "lang")
+           .agg(F.count("*").cast("bigint").alias("n_tok"), *bits_cols))
+    score = {}
+    for i, c in enumerate(classes):
+        nc, dc = consts[c]
+        score[c] = (F.col(f"_s_{i}")
+                    - F.col("n_tok") * F.lit((nc + CLS_B).bit_length())
+                    + F.lit(dc.bit_length()))
+    keys = [F.concat(F.lpad((F.lit(100000) - score[c]).cast("string"),
+                            6, "0"), F.lit(c)) for c in classes]
+    own = F.create_map(
+        *[x for c in classes for x in (F.lit(c), score[c])])[F.col("lang")]
+    verdict = (agg.select(
+        "url",
+        F.least(*keys).alias("k") if len(keys) > 1 else keys[0].alias("k"),
+        own.alias("own"))
+        .select("url",
+                F.expr("substr(k, 7)").alias("pred_lang"),
+                (F.lit(100000)
+                 - F.expr("CAST(substr(k, 1, 6) AS BIGINT)")
+                 - F.col("own")).cast("bigint").alias("lang_margin")))
     out = docs.join(verdict, "url", "left")
     mismatch = ((F.col("pred_lang") != F.col("lang"))
                 & (F.col("lang_margin") >= CLS_MARGIN))
