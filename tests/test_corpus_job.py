@@ -225,25 +225,31 @@ def test_pack_equals_naive_window(job, spark):
             assert r["tok"] == PACK_BUDGET
 
 
-def test_kill_and_resume_identical(spark, tmp_path, job):
+@pytest.mark.parametrize("crash_stage,prev_stage", [
+    ("gate", "clean"),
+    ("classify", "gate"),   # the model-fit stage: resume must refit
+])
+def test_kill_and_resume_identical(spark, tmp_path, job, crash_stage,
+                                   prev_stage):
     out_ref, ref_stats = job
-    out = str(tmp_path / "resumed")
-    # crash at the worst point of `gate`: data written, marker missing
+    out = str(tmp_path / f"resumed_{crash_stage}")
+    # crash at the worst point of the stage: data written, marker missing
     with pytest.raises(CorpusJobInterrupted):
         run_corpus_prep(spark, out, pages=_pages(spark),
-                        num_partitions=16, fail_after="gate")
+                        num_partitions=16, fail_after=crash_stage)
     # the crashed stage's partial data is visible on disk, uncommitted
-    assert os.path.isdir(os.path.join(out, "stages", "gate"))
-    assert not os.path.exists(os.path.join(out, "lineage", "gate.parquet"))
-    marker = os.path.join(out, "lineage", "clean.parquet")
+    assert os.path.isdir(os.path.join(out, "stages", crash_stage))
+    assert not os.path.exists(
+        os.path.join(out, "lineage", f"{crash_stage}.parquet"))
+    marker = os.path.join(out, "lineage", f"{prev_stage}.parquet")
     mtime_before = os.path.getmtime(marker)
 
     stats = run_corpus_prep(spark, out, pages=_pages(spark),
                             num_partitions=16)
     # committed stages skipped, crashed stage recomputed
     assert stats["stages"]["extract"]["status"] == "skipped"
-    assert stats["stages"]["clean"]["status"] == "skipped"
-    assert stats["stages"]["gate"]["status"] == "ran"
+    assert stats["stages"][prev_stage]["status"] == "skipped"
+    assert stats["stages"][crash_stage]["status"] == "ran"
     assert os.path.getmtime(marker) == mtime_before
     # converges to the byte-identical published tables
     assert job_digest(out) == job_digest(out_ref)
