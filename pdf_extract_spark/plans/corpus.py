@@ -43,8 +43,9 @@ Scale notes (the 100 TB shapes, per stage, all verified on .explain):
   web's host count is ~10^8 — a few GB of (domain, verdict); beyond
   that the join key equals the agg key and co-partitions).
 - classify: NB fit collapses to the bounded C x CLS_B stats table
-  (map-side partials) rebroadcast onto the token stream; predict pays two
-  map-side-combined groupBys and one url equi-join — no window, no
+  (map-side partials), pivoted to ONE broadcast bucket map; predict pays
+  a single map-side-combined groupBy(url) (C parallel sum columns, no
+  xC row expansion) and one url equi-join — no window, no corpus-sized
   collect, no pair expansion.
 - dedup_para: 3 bounded shuffles (groupBy(parahash) min, equi-join back,
   groupBy(url) reassembly); hot paragraphs (cookie banners in 10^6 docs)
@@ -418,11 +419,22 @@ def dedup_documents(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     the exact survivors, contracted to clusters by alternating
     large/small-star (dedup_q.connected_components_star — O(log n)
     rounds, the 10^12-node path; property-tested equal to hash-to-min).
-    Returns (kept_docs, dropped) with dropped = (url, error) naming each
-    drop's canonical survivor — the quarantine row a user audits."""
+    Returns (kept_docs, dropped, cached) with dropped = (url, error)
+    naming each drop's canonical survivor — the quarantine row a user
+    audits — and cached the persisted frame the CALLER must unpersist
+    once both outputs are materialized.
+
+    The keyed frame is persisted (memory-and-disk): four downstream
+    branches consume it (winners agg, tagged join, survivor-url lookup,
+    and the near-dup pass via exact_kept), and without the cache each one
+    re-scans the committed stage parquet AND re-runs the full-text
+    xxhash64 passes — measured as the job's most expensive stage before
+    this (stage wall 79 s at local[8]/300k -> see BENCH.md)."""
+    from pyspark import StorageLevel
     keyed = (docs.withColumn("k1", F.xxhash64("text"))
              .withColumn("k2", F.xxhash64(F.lit(1), "text"))
-             .withColumn("doc_key", _doc_key()))
+             .withColumn("doc_key", _doc_key())
+             .persist(StorageLevel.MEMORY_AND_DISK))
     winners = keyed.groupBy("k1", "k2").agg(F.min("doc_key").alias("w_key"))
     tagged = keyed.join(winners, ["k1", "k2"])
     exact_kept = (tagged.filter(F.col("doc_key") == F.col("w_key"))
@@ -447,7 +459,7 @@ def dedup_documents(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
                                      "label").alias("error")))
     kept = exact_kept.join(near_dropped.select("url"), "url", "left_anti")
     dropped = exact_dropped.unionByName(near_dropped)
-    return kept, dropped
+    return kept, dropped, keyed
 
 
 def split_docs(docs: DataFrame) -> DataFrame:
@@ -788,11 +800,12 @@ def run_corpus_prep(
     if lin is not None:
         prev_docs, prev_n = _skip("dedup_doc", lin)
     else:
-        kept, dropped = dedup_documents(prev_docs)
+        kept, dropped, cached = dedup_documents(prev_docs)
         quar = dropped.select("url", F.lit("dedup_doc").alias("stage"),
                               "error")
         prev_docs, prev_n = _commit_docs_stage("dedup_doc", kept, quar,
                                                prev_n)
+        cached.unpersist()
 
     # --- split ---
     lin = _read_stage_lineage(out_dir, "split")
