@@ -885,7 +885,8 @@ def job_digest(out_dir: str) -> str:
 
 
 def export_jsonl(spark: SparkSession, out_dir: str, dest: str,
-                 split: str = "train", compress: bool = True) -> str:
+                 split: str = "train", compress: bool = True,
+                 ordered: bool = False) -> str:
     """Export one split of a finished job as JSONL — one
     ``{"url","lang","text"}`` object per line, the interchange format
     training data loaders consume (C4/Dolma/RedPajama all ship JSONL).
@@ -894,10 +895,23 @@ def export_jsonl(spark: SparkSession, out_dir: str, dest: str,
     materialization — at 100 TB this is the same parallel write as the
     parquet stages, just a different encoder. Reads the committed
     split-stage table, so an interrupted export can simply re-run
-    (mode=overwrite, source immutable)."""
+    (mode=overwrite, source immutable).
+
+    ``ordered=True`` writes a GLOBALLY url-ordered export (reproducible
+    file-order byte streams for consumers that hash or resume by offset):
+    repartitionByRange samples the url distribution and assigns
+    contiguous key ranges to partitions, sortWithinPartitions orders
+    inside each — concatenating part files in name order yields the
+    total order WITHOUT ever funneling the corpus through a single-task
+    sort (each partition sorts only its own range; the only global step
+    is the range sampling job)."""
     df = (corpus(spark, out_dir)
           .filter(F.col("split") == split)
           .select("url", "lang", "text"))
+    if ordered:
+        n = df.sparkSession.sparkContext.defaultParallelism
+        df = (df.repartitionByRange(n, "url")
+              .sortWithinPartitions("url"))
     w = df.write.mode("overwrite")
     if compress:
         w = w.option("compression", "gzip")

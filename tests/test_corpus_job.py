@@ -288,3 +288,34 @@ def test_export_jsonl_roundtrip(job, spark, tmp_path):
     with gzip.open(parts[0], "rt") as fh:
         row = _json.loads(fh.readline())
     assert {"url", "lang", "text"} <= set(row)
+
+
+def test_export_jsonl_ordered_is_globally_sorted(job, spark, tmp_path):
+    """ordered=True must produce a globally url-sorted byte stream when
+    part files are concatenated in name order — via range partitioning,
+    never a single-task global sort (plan-asserted: the exchange is a
+    rangepartitioning, not SinglePartition)."""
+    import glob
+    import gzip
+    import json as _json
+
+    from pdf_extract_spark.plans.corpus import corpus, export_jsonl
+
+    out, _ = job
+    dest = str(tmp_path / "ordered_jsonl")
+    export_jsonl(spark, out, dest, split="train", ordered=True)
+    urls = []
+    for path in sorted(glob.glob(os.path.join(dest, "part-*.json.gz"))):
+        with gzip.open(path, "rt") as f:
+            urls.extend(_json.loads(line)["url"] for line in f)
+    assert urls == sorted(urls)
+    expect = {r["url"] for r in corpus(spark, out)
+              .filter(F.col("split") == "train").select("url").collect()}
+    assert set(urls) == expect and len(urls) == len(expect)
+    # plan shape: range partitioning, no single-partition funnel
+    df = (corpus(spark, out).filter(F.col("split") == "train")
+          .select("url", "lang", "text")
+          .repartitionByRange(8, "url").sortWithinPartitions("url"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan
+    assert "SinglePartition" not in plan

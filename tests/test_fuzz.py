@@ -173,3 +173,43 @@ def test_media_writer_roundtrip_and_truncation(w, h, seed, cut):
             trunc = payload[:-cut]
             m2, e2 = decode_payload_media(trunc)  # must not raise
             assert (m2 is None) != (e2 is None)
+
+
+# --- BPE replace-chain encoding (queries/model_q.py) -----------------------
+# The engine merges BPE pairs with ONE literal replace over the
+# '|t1||t2|' token-list encoding; both engines' replace() is
+# left-to-right non-overlapping, which must equal a direct greedy merge.
+# Validate the encoding trick itself against a first-principles reference
+# on arbitrary words and merge sequences (the oracle test proves
+# Spark == DuckDB; this proves both == BPE).
+
+def _bpe_ref_apply(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    toks = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
+_LOWER = st.text(alphabet="ab", min_size=1, max_size=12)
+
+
+@given(
+    word=st.text(alphabet="abc", min_size=1, max_size=16),
+    pairs=st.lists(st.tuples(_LOWER, _LOWER), min_size=0, max_size=6),
+)
+@settings(max_examples=300, derandomize=True, deadline=None)
+def test_bpe_replace_chain_equals_greedy_reference(word, pairs):
+    s = "|" + "||".join(list(word)) + "|"
+    for a, b in pairs:
+        s = s.replace(f"|{a}||{b}|", f"|{a}{b}|")
+    got = s[1:-1].split("||") if len(s) > 2 else []
+    assert got == _bpe_ref_apply(word, pairs)
+    assert "".join(got) == word  # merges never alter the byte content
