@@ -250,6 +250,12 @@ def _bpe_fit(spark: SparkSession, sf_dir: str) -> list[tuple[int, str, int]]:
                     .groupBy("pair").agg(F.sum("f").cast("bigint").alias("cnt"))
                     .orderBy(F.col("cnt").desc(), "pair")
                     .first())
+            if best is None:  # fewer mergeable pairs than BPE_K — the
+                # oracle chain's empty-p{i} scalar subqueries would go
+                # NULL and silently desync; fail loudly instead
+                raise ValueError(
+                    f"corpus exhausted after {rank - 1} merges; "
+                    f"BPE_K={BPE_K} needs a larger corpus")
             pair, cnt = best["pair"], int(best["cnt"])
             a, b = pair.split(">")
             merges.append((rank, pair, cnt))
