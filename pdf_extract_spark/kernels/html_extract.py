@@ -374,8 +374,13 @@ _CHARSET_LABELS = {
 # prescan regexes run on a latin-1 "lens" of the first 1024 bytes (every
 # byte maps to one char, so byte offsets == char offsets and ASCII tag
 # syntax is visible regardless of the document's actual encoding)
-_META_RE = re.compile(
-    r"<meta\s[^>]*>|<!--.*?-->", re.IGNORECASE | re.DOTALL)
+_META_RE = re.compile(r"<meta\s[^>]*>", re.IGNORECASE | re.DOTALL)
+# WHATWG prescan comment handling: an OPENED comment consumes to its
+# "-->" or, if unclosed, to the END of the window (the spec skips to EOF)
+# — a '<meta charset=..>' inside either span must be invisible. The
+# previous single-regex alternation only matched CLOSED comments, so an
+# unclosed '<!-- <meta charset=big5>' leaked its meta into the scan.
+_COMMENT_RE = re.compile(r"<!--.*?(?:-->|$)", re.DOTALL)
 _CHARSET_ATTR_RE = re.compile(
     r"""charset\s*=\s*["']?\s*([a-zA-Z0-9._:-]+)""", re.IGNORECASE)
 
@@ -390,11 +395,9 @@ def sniff_encoding(payload: bytes) -> tuple[str | None, bool]:
         return "utf-16-le", True
     if payload[:2] == b"\xfe\xff":
         return "utf-16-be", True
-    head = payload[:1024].decode("latin-1")
+    head = _COMMENT_RE.sub("", payload[:1024].decode("latin-1"))
     for m in _META_RE.finditer(head):
         tok = m.group(0)
-        if tok.startswith("<!--"):
-            continue
         c = _CHARSET_ATTR_RE.search(tok)
         if c:
             codec = _CHARSET_LABELS.get(c.group(1).lower())
@@ -404,21 +407,35 @@ def sniff_encoding(payload: bytes) -> tuple[str | None, bool]:
 
 
 def decode_html_bytes(payload: bytes) -> tuple[str | None, str | None]:
-    """(text, error) from raw HTML bytes. Declared encodings (BOM or meta
-    charset prescan) are honored; otherwise strict UTF-8; undeclared
-    non-UTF-8 and declared-but-unfaithful payloads quarantine."""
+    """(text, error) from raw HTML bytes. BOMs are byte-level evidence and
+    win outright. A meta-declared LEGACY charset is honored only after
+    strict UTF-8 fails: declared-latin1-but-actually-UTF-8 is a pervasive
+    real-web misconfiguration, and legacy single-byte codecs almost never
+    reject bytes, so decoding them first would turn those pages into
+    silent mojibake — the exact failure the module's priority statement
+    forbids (quarantine beats corrupt text). Undeclared non-UTF-8 and
+    declared-but-unfaithful payloads quarantine."""
     if not payload:
         return None, "empty_payload"
     codec, bom = sniff_encoding(payload)
-    if codec is not None:
-        if bom and codec.startswith("utf-16"):
+    if bom:
+        if codec.startswith("utf-16"):
             payload = payload[2:]  # strip the BOM the codec would echo
         try:
             html = payload.decode(codec)
         except (UnicodeDecodeError, LookupError):
-            # declaration present but the bytes don't conform: quarantine
-            # under its own error so crawl-side lies are auditable
             return None, "charset_mismatch"
+    elif codec is not None:
+        try:
+            html = payload.decode("utf-8")
+        except UnicodeDecodeError:
+            try:
+                html = payload.decode(codec)
+            except (UnicodeDecodeError, LookupError):
+                # declaration present but neither UTF-8 nor the declared
+                # codec fits: quarantine under its own error so
+                # crawl-side lies are auditable
+                return None, "charset_mismatch"
     else:
         try:
             html = payload.decode("utf-8")

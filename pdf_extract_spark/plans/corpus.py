@@ -105,6 +105,10 @@ CLS_B = 1 << 16   # NB classifier hashed-feature buckets. Wider than the
 #                   the stats table stays bounded at C x CLS_B rows
 #                   (fastText-scale models use 2M buckets for the same
 #                   reason). Memory: ~5 x 65k longs, a few MB broadcast.
+CLS_KEY_OFF = 100_000_000  # argmax string-key offset; must exceed any
+#                   reachable |score| (n_tok * max bucket bits — the 2M-char
+#                   gate cap bounds it near 2*10^7) so the 9-digit lpad
+#                   field never overflows/truncates
 CLS_MARGIN = 64   # integer bits of NB confidence before a declared-vs-
 #                   predicted language disagreement quarantines the doc
 #                   (CCNet drops docs whose fastText lang disagrees with
@@ -124,13 +128,19 @@ class CorpusJobInterrupted(RuntimeError):
 # --- per-stage transforms (pure DataFrame -> DataFrame; no I/O) -------------
 
 def _doc_key() -> F.Column:
-    """Fixed-width orderable document key: 16-hex-char two's-complement
-    xxhash64(url). Lexicographic order on it == unsigned numeric order, so
-    MIN() hash-aggregates with map-side partials (no struct-min
-    SortAggregate — the round-3 argmin discipline). Winner choice between
-    near-dup docs is arbitrary-but-deterministic, so hash order is as good
-    as url order and far cheaper to shuffle."""
-    return F.lpad(F.hex(F.xxhash64("url")), 16, "0")
+    """Fixed-width orderable document key: 32 hex chars from TWO
+    independent xxhash64(url) passes (the module's 128-bit discipline —
+    the key serves as a JOIN identity in dedup_documents' survivor-url
+    lookup, where a 64-bit collision at the 10^12-doc design point would
+    duplicate quarantine rows against the wrong survivor and break the
+    stage's n_in == n_out + n_quarantined conservation). Lexicographic
+    order == unsigned numeric order, so MIN() hash-aggregates with
+    map-side partials (no struct-min SortAggregate — the round-3 argmin
+    discipline). Winner choice between near-dup docs is
+    arbitrary-but-deterministic, so hash order is as good as url order
+    and far cheaper to shuffle."""
+    return F.concat(F.lpad(F.hex(F.xxhash64("url")), 16, "0"),
+                    F.lpad(F.hex(F.xxhash64(F.lit(1), "url")), 16, "0"))
 
 
 def clean_docs(docs: DataFrame) -> DataFrame:
@@ -252,12 +262,23 @@ def classify_docs(docs: DataFrame) -> DataFrame:
     consts = {r["c"]: (int(r["nc"]), int(r["dc"]))
               for r in cls.join(pri, "c").collect()}
     classes = sorted(consts)
+    if not classes:
+        # no trusted (HTML-carried) labels anywhere — e.g. an all-PDF
+        # input, a supported case. There is nothing to fit, so nothing
+        # can be audited: pass every doc through with a null-model
+        # verdict rather than crashing the stage.
+        return (docs.withColumn("pred_lang", F.col("lang"))
+                .withColumn("lang_margin", F.lit(0).cast("bigint"))
+                .withColumn("keep", F.lit(True)))
     bmap = (stats.groupBy("b")
             .agg(F.map_from_entries(
                 F.collect_list(F.struct("c", "n"))).alias("m")))
     j = bk.join(F.broadcast(bmap), "b", "left")
+    # functional API only (element_at / bin / lpad Columns) — class names
+    # come from crawl data and must never be interpolated into SQL text
     bits_cols = [
-        F.sum(F.expr(f"length(bin(COALESCE(m['{c}'], 0) + 1))"))
+        F.sum(F.length(F.bin(
+            F.coalesce(F.element_at("m", F.lit(c)), F.lit(0)) + F.lit(1))))
         .cast("bigint").alias(f"_s_{i}")
         for i, c in enumerate(classes)]
     agg = (j.groupBy("url", "lang")
@@ -268,8 +289,12 @@ def classify_docs(docs: DataFrame) -> DataFrame:
         score[c] = (F.col(f"_s_{i}")
                     - F.col("n_tok") * F.lit((nc + CLS_B).bit_length())
                     + F.lit(dc.bit_length()))
-    keys = [F.concat(F.lpad((F.lit(100000) - score[c]).cast("string"),
-                            6, "0"), F.lit(c)) for c in classes]
+    # 9-digit key window: |score| is bounded by n_tok * max_bits; the
+    # gate admits up to 2M chars (~1M tokens), so deficits reach ~2*10^7
+    # — far over the earlier 6-digit field, which Spark's lpad would
+    # silently TRUNCATE, corrupting the argmax for any very long doc
+    keys = [F.concat(F.lpad((F.lit(CLS_KEY_OFF) - score[c]).cast("string"),
+                            9, "0"), F.lit(c)) for c in classes]
     own = F.create_map(
         *[x for c in classes for x in (F.lit(c), score[c])])[F.col("lang")]
     verdict = (agg.select(
@@ -277,9 +302,10 @@ def classify_docs(docs: DataFrame) -> DataFrame:
         F.least(*keys).alias("k") if len(keys) > 1 else keys[0].alias("k"),
         own.alias("own"))
         .select("url",
-                F.expr("substr(k, 7)").alias("pred_lang"),
-                (F.lit(100000)
-                 - F.expr("CAST(substr(k, 1, 6) AS BIGINT)")
+                F.col("k").substr(F.lit(10), F.length("k")).alias(
+                    "pred_lang"),
+                (F.lit(CLS_KEY_OFF)
+                 - F.col("k").substr(1, 9).cast("bigint")
                  - F.col("own")).cast("bigint").alias("lang_margin")))
     out = docs.join(verdict, "url", "left")
     mismatch = ((F.col("pred_lang") != F.col("lang"))
@@ -803,9 +829,14 @@ def run_corpus_prep(
         kept, dropped, cached = dedup_documents(prev_docs)
         quar = dropped.select("url", F.lit("dedup_doc").alias("stage"),
                               "error")
-        prev_docs, prev_n = _commit_docs_stage("dedup_doc", kept, quar,
-                                               prev_n)
-        cached.unpersist()
+        try:
+            prev_docs, prev_n = _commit_docs_stage("dedup_doc", kept, quar,
+                                                   prev_n)
+        finally:
+            # also on the fail_after crash-injection path / write errors:
+            # never leak a corpus-sized MEMORY_AND_DISK cache into a
+            # long-lived session
+            cached.unpersist()
 
     # --- split ---
     lin = _read_stage_lineage(out_dir, "split")

@@ -51,10 +51,15 @@ from .pipeline_q import _bucket3, _duck_bucket3
 #
 # argmax over classes, ties to the lexicographically smallest lang, via
 # the fixed-width-string MIN (the winnow_fingerprint HashAggregate-argmin
-# idiom): key = lpad(NB_OFF - score, 6, '0') || class.
+# idiom): key = lpad(NB_OFF - score, NB_W, '0') || class.
 
 NB_B = 4096       # hashed-feature buckets (16^3)
-NB_OFF = 100000   # argmax string-encoding offset (|score| << NB_OFF)
+NB_OFF = 100_000_000  # argmax string-encoding offset; must exceed any
+#                   reachable |score| (n_tok x max bucket bits) or the
+#                   NB_W-digit lpad field TRUNCATES (Spark lpad truncates
+#                   long inputs!) and corrupts the argmax — sized for
+#                   million-token documents, far past the fixture
+NB_W = 9          # fixed key width: len(str(NB_OFF - score)) <= NB_W
 
 
 @register(
@@ -85,17 +90,17 @@ NB_OFF = 100000   # argmax string-encoding offset (|score| << NB_OFF)
                       + length(bin(pri.dc)) AS score
                FROM sc JOIN cls ON cls.c = sc.c JOIN pri ON pri.c = sc.c),
     pick AS (SELECT doc_id, lang, n_tok,
-                    MIN(lpad(CAST({NB_OFF} - score AS VARCHAR), 6, '0')
+                    MIN(lpad(CAST({NB_OFF} - score AS VARCHAR), {NB_W}, '0')
                         || c) AS k
              FROM scored GROUP BY doc_id, lang, n_tok)
     SELECT doc_id,
            lang,
            n_tok,
-           substr(k, 7) AS pred_lang,
-           CAST({NB_OFF} - CAST(substr(k, 1, 6) AS BIGINT) AS BIGINT)
+           substr(k, {NB_W + 1}) AS pred_lang,
+           CAST({NB_OFF} - CAST(substr(k, 1, {NB_W}) AS BIGINT) AS BIGINT)
                AS pred_bits,
            (doc_id % 3 = 0) AS is_train,
-           (substr(k, 7) = lang) AS correct
+           (substr(k, {NB_W + 1}) = lang) AS correct
     FROM pick
     """,
 )
@@ -147,15 +152,15 @@ def nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     pick = (scored.groupBy("doc_id", "lang", "n_tok")
             .agg(F.min(F.concat(
                 F.lpad((F.lit(NB_OFF) - F.col("score")).cast("string"),
-                       6, "0"),
+                       NB_W, "0"),
                 F.col("c"))).alias("k")))
     return pick.select(
         "doc_id", "lang", "n_tok",
-        F.expr("substr(k, 7)").alias("pred_lang"),
-        (F.lit(NB_OFF) - F.expr("CAST(substr(k, 1, 6) AS BIGINT)"))
+        F.expr(f"substr(k, {NB_W + 1})").alias("pred_lang"),
+        (F.lit(NB_OFF) - F.expr(f"CAST(substr(k, 1, {NB_W}) AS BIGINT)"))
         .cast("bigint").alias("pred_bits"),
         (F.col("doc_id") % 3 == 0).alias("is_train"),
-        (F.expr("substr(k, 7)") == F.col("lang")).alias("correct"))
+        (F.expr(f"substr(k, {NB_W + 1})") == F.col("lang")).alias("correct"))
 
 
 # --- BPE tokenizer training -------------------------------------------------

@@ -852,15 +852,16 @@ def decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     worst case, independent of corpus size) and cuts the shuffled volume
     to (true hits + fpp x clean) rows, while the exact verify keeps the
     result bit-identical to the exact operator (same DuckDB oracle)."""
-    out, sig = _decontam_bloom_build(spark, sf_dir)
+    out, caches = _decontam_bloom_build(spark, sf_dir)
     res = out.localCheckpoint(eager=True)
-    sig.unpersist()
+    for c in caches:
+        c.unpersist()
     return res
 
 
 def _decontam_bloom_build(spark: SparkSession, sf_dir: str):
     """Plan builder (pre-checkpoint, so tests can assert its physical
-    shape); returns (out, persisted_sig)."""
+    shape); returns (out, persisted_frames)."""
     docs = tbl(spark, sf_dir, "documents")
     h = F.substring(
         F.sha2(F.concat(F.lit("split#"), F.col("doc_id").cast("string")),
@@ -874,8 +875,11 @@ def _decontam_bloom_build(spark: SparkSession, sf_dir: str):
            .select("doc_id", "split",
                    F.expr(_spark_shingles(CONTAM_N)).alias("grams"))
            .persist())  # train distinct + bloom build + test explode + join
+    # persisted: BOTH the bloom build and the exact verify consume the
+    # distinct train-gram table — without the cache its explode+distinct
+    # exchange (the op's dominant shuffle) runs twice
     train_g = (sig.filter(F.col("split") == "train")
-               .select(F.explode("grams").alias("g")).distinct())
+               .select(F.explode("grams").alias("g")).distinct().persist())
     slot = F.pmod(F.xxhash64("g"), F.lit(BLOOM_M))
     # occupied bloom slots: bounded at BLOOM_M rows by construction
     # (slot values live in [0, M)), distinct-ed map-side first
@@ -897,7 +901,7 @@ def _decontam_bloom_build(spark: SparkSession, sf_dir: str):
                .alias("n_contam"),
                (F.coalesce("n_contam", F.lit(0)).cast("double")
                 / F.col("n_grams").cast("double")).alias("contam_frac")))
-    return out, sig
+    return out, [sig, train_g]
 
 
 # --- importance sampling (DSIR-style data selection) ------------------------

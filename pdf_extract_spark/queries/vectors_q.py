@@ -67,6 +67,26 @@ def _duck_norm(a: str) -> str:
     return f"sqrt({_duck_dot(a, a)})"
 
 
+def _spark_cos(a: str, b: str) -> str:
+    """Cosine with the zero-vector guard: a zero-norm side gives dot=0 and
+    norm-product=0, and under ANSI mode (Spark 4 default) that 0.0/0.0 is
+    a runtime divideByZeroError — not NaN — so the query CRASHES on the
+    first zero vector (the embed kernel emits one for empty text).
+    try_divide yields NULL there; coalesce maps it to -2.0, which sorts/
+    filters below every real cosine (the dedup_semantic discipline).
+    x/0 with x != 0 cannot occur (zero norm forces zero dot)."""
+    return (f"coalesce(try_divide({_spark_dot(a, b)},"
+            f" {_spark_norm(a)} * {_spark_norm(b)}), CAST(-2.0 AS DOUBLE))")
+
+
+def _duck_cos(a: str, b: str) -> str:
+    """Oracle twin of _spark_cos (DuckDB has no nanvl; the CASE inlines
+    the fold twice — values identical, NaN -> -2.0 in both engines)."""
+    raw = (f"({_duck_dot(a, b)}"
+           f" / ({_duck_norm(a)} * {_duck_norm(b)}))")
+    return f"CASE WHEN isnan({raw}) THEN CAST(-2.0 AS DOUBLE) ELSE {raw} END"
+
+
 def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tbl(spark, sf_dir, "embeddings")
     return (emb.filter(F.col("vec_id") < N_QUERIES)
@@ -157,8 +177,7 @@ _VARIANTS_CTE = f"""
       FROM q CROSS JOIN embeddings e),
     v2 AS (
       SELECT q.qid, e.vec_id, 'cosine' AS variant,
-             ({_duck_dot('q.qv', 'e.embedding')}
-              / ({_duck_norm('q.qv')} * {_duck_norm('e.embedding')})
+             ({_duck_cos('q.qv', 'e.embedding')}
               + CAST(1.0 AS DOUBLE)) / CAST(2.0 AS DOUBLE) AS score
       FROM q CROSS JOIN embeddings e),
     u AS (
@@ -187,8 +206,7 @@ def _variant_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = base.select(
         "qid", "vec_id", F.lit("cosine").alias("variant"),
         F.expr(
-            f"({_spark_dot('qv', 'embedding')}"
-            f" / ({_spark_norm('qv')} * {_spark_norm('embedding')})"
+            f"({_spark_cos('qv', 'embedding')}"
             f" + CAST(1.0 AS DOUBLE)) / CAST(2.0 AS DOUBLE)"
         ).alias("score"))
     return _salted_topk(v1.unionByName(v2), ["qid", "variant"],
@@ -300,8 +318,7 @@ def verify_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS {_DUCK_Q},
     d AS (
       SELECT q.qid, e.vec_id,
-             {_duck_dot('q.qv', 'e.embedding')}
-             / ({_duck_norm('q.qv')} * {_duck_norm('e.embedding')}) AS cos_sim
+             {_duck_cos('q.qv', 'e.embedding')} AS cos_sim
       FROM q CROSS JOIN embeddings e
       WHERE e.vec_id >= {N_QUERIES})
     SELECT qid, vec_id, cos_sim, rn FROM (
@@ -320,9 +337,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _queries_df(spark, sf_dir)
     scored = F.broadcast(q).crossJoin(emb).select(
         "qid", "vec_id",
-        F.expr(f"{_spark_dot('qv', 'embedding')}"
-               f" / ({_spark_norm('qv')} * {_spark_norm('embedding')})")
-        .alias("cos_sim"))
+        F.expr(_spark_cos('qv', 'embedding')).alias("cos_sim"))
     return _salted_topk(scored, ["qid"], "cos_sim", "vec_id", K)
 
 
@@ -338,8 +353,7 @@ RANGE_THRESH = 0.3
     WITH q AS {_DUCK_Q},
     d AS (
       SELECT q.qid, e.vec_id,
-             {_duck_dot('q.qv', 'e.embedding')}
-             / ({_duck_norm('q.qv')} * {_duck_norm('e.embedding')}) AS cos_sim
+             {_duck_cos('q.qv', 'e.embedding')} AS cos_sim
       FROM q CROSS JOIN embeddings e
       WHERE e.vec_id >= {N_QUERIES})
     SELECT qid, vec_id, cos_sim FROM d WHERE cos_sim >= {RANGE_THRESH}
@@ -364,9 +378,7 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _queries_df(spark, sf_dir)
     return (F.broadcast(q).crossJoin(emb)
             .select("qid", "vec_id",
-                    F.expr(f"{_spark_dot('qv', 'embedding')}"
-                           f" / ({_spark_norm('qv')} * {_spark_norm('embedding')})")
-                    .alias("cos_sim"))
+                    F.expr(_spark_cos('qv', 'embedding')).alias("cos_sim"))
             .filter(F.col("cos_sim") >= RANGE_THRESH))
 
 
@@ -558,9 +570,7 @@ _DUCK_SQ8 = f"""
                                 ORDER BY s.cos_sim DESC, s.vec_id) AS rn
       FROM (
         SELECT q.qid, e.vec_id,
-               {_duck_dot('q.qv', 'e.embedding')}
-               / ({_duck_norm('q.qv')} * {_duck_norm('e.embedding')})
-                 AS cos_sim
+               {_duck_cos('q.qv', 'e.embedding')} AS cos_sim
         FROM cand
         JOIN q ON q.qid = cand.qid
         JOIN embeddings e ON e.vec_id = cand.vec_id) s) t
@@ -638,9 +648,7 @@ def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(emb, "vec_id")
               .join(F.broadcast(q), "qid")
               .select("qid", "vec_id",
-                      F.expr(f"{_spark_dot('qv', 'embedding')}"
-                             f" / ({_spark_norm('qv')}"
-                             f" * {_spark_norm('embedding')})")
+                      F.expr(_spark_cos('qv', 'embedding'))
                       .alias("cos_sim")))
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (scored.withColumn("rn", F.row_number().over(w).cast("bigint"))

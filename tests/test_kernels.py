@@ -438,3 +438,27 @@ def test_charset_undeclared_still_quarantines():
     # no BOM, no meta: non-UTF-8 bytes stay quarantined (no mojibake)
     payload = _content_html("").encode("cp1252")
     assert decode_html_bytes(payload)[1] == "invalid_utf8"
+
+
+def test_charset_declared_legacy_but_valid_utf8_prefers_utf8():
+    """declared-latin1-but-actually-UTF-8 (pervasive real-web
+    misconfiguration): strict UTF-8 is tried FIRST, so 'café' survives
+    instead of silently mojibaking to 'cafÃ©' through cp1252 (which
+    decodes almost any byte sequence without error)."""
+    html = _content_html('<meta charset="iso-8859-1">')
+    text, err = decode_html_bytes(html.encode("utf-8"))
+    assert err is None and "café résumé" in text
+    assert "Ã©" not in text
+
+
+def test_charset_unclosed_comment_hides_meta():
+    """WHATWG prescan: an UNCLOSED comment consumes to the end of the
+    window, so a meta inside it must not be honored (previously only
+    closed comments were skipped and the big5 label leaked through)."""
+    html = _content_html('<!-- <meta charset="big5">')
+    text, err = decode_html_bytes(html.encode("utf-8"))
+    assert err is None and "café résumé" in text
+    # a meta AFTER a closed comment is still honored
+    html2 = _content_html('<!-- x --><meta charset="iso-8859-1">')
+    text2, err2 = decode_html_bytes(html2.encode("cp1252"))
+    assert err2 is None and "café" in text2

@@ -793,7 +793,7 @@ def test_ann_salted_topk_matches_naive_window(spark):
     from pyspark.sql.window import Window
     from pdf_extract_spark.queries import load_all, tbl
     from pdf_extract_spark.queries.vectors_q import (
-        K, N_QUERIES, _queries_df, _spark_dot, _spark_norm)
+        K, N_QUERIES, _queries_df, _spark_cos)
 
     got = sorted(map(tuple,
                      load_all()["ann_cosine_topk"].fn(spark, SF).collect()))
@@ -802,9 +802,7 @@ def test_ann_salted_topk_matches_naive_window(spark):
            .select("vec_id", "embedding"))
     scored = F.broadcast(_queries_df(spark, SF)).crossJoin(emb).select(
         "qid", "vec_id",
-        F.expr(f"{_spark_dot('qv', 'embedding')}"
-               f" / ({_spark_norm('qv')} * {_spark_norm('embedding')})")
-        .alias("cos_sim"))
+        F.expr(_spark_cos('qv', 'embedding')).alias("cos_sim"))
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     naive = (scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
              .filter(F.col("rn") <= K))
@@ -952,9 +950,10 @@ def test_decontam_bloom_matches_exact_and_broadcasts(spark):
     from pdf_extract_spark.queries.pipeline_q import _decontam_bloom_build
 
     reg = load_all()
-    built, sig = _decontam_bloom_build(spark, SF)
+    built, caches = _decontam_bloom_build(spark, SF)
     plan = _plan(built)
-    sig.unpersist()
+    for c in caches:
+        c.unpersist()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     exact = {tuple(r) for r in reg["split_contamination"].fn(spark, SF).collect()}
     bloom = {tuple(r) for r in reg["decontam_bloom"].fn(spark, SF).collect()}
@@ -1067,3 +1066,33 @@ def test_kmeans_centroids_cached_no_second_fit(spark, monkeypatch):
         return model_q._KM_CACHE[sf_dir]
     monkeypatch.setattr(model_q, "_kmeans_fit", guard)
     assert model_q.kmeans_embed(spark, SF).count() > 0
+
+
+def test_cosine_zero_vector_scores_minus_two_and_sorts_last(spark,
+                                                            tmp_path_factory):
+    """A zero-norm embedding (the embed kernel emits one for empty text)
+    must score -2.0 — not NaN — in every cosine query. NaN would diverge
+    between the salted stage-1 (ascending -score: NaN last, silently
+    sliced away) and a desc window / the DuckDB oracle (NaN first)."""
+    import math
+    import os
+    import numpy as np
+
+    from pdf_extract_spark.queries import load_all
+
+    d = str(tmp_path_factory.mktemp("zero_vec"))
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(40):
+        v = ([0.0] * 64 if i == 20
+             else [float(x) for x in rng.normal(size=64)])
+        rows.append((i, v, i % 3))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+
+    out = load_all()["ann_cosine_topk"].fn(spark, d).collect()
+    assert all(not math.isnan(r["cos_sim"]) for r in out)
+    assert all(r["vec_id"] != 20 for r in out)  # -2.0 sorts below top-k
+    rng_out = load_all()["ann_range_search"].fn(spark, d).collect()
+    assert all(r["vec_id"] != 20 for r in rng_out)
