@@ -980,9 +980,10 @@ def test_importance_sample_two_scans_one_broadcast(spark):
 
 def test_nb_classify_fit_is_bounded_predict_broadcasts(spark):
     """The NB classifier's fit must collapse to the bounded (lang, bucket)
-    stats via map-side partials and rejoin the token stream by broadcast
-    hash join only; the per-doc argmax is a hash-aggregate string MIN —
-    no window anywhere, no shuffle join, no driver collect."""
+    stats via map-side partials; PREDICT joins the pivoted bucket map by
+    ONE broadcast hash join (no ×C cross join — the classify-stage
+    rewrite measured 2.7× over the expanded form) and reduces through a
+    single partial-agg groupBy; no window, no shuffle join anywhere."""
     from pdf_extract_spark.queries import load_all
 
     plan = _plan(load_all()["nb_classify"].fn(spark, SF))
@@ -990,8 +991,8 @@ def test_nb_classify_fit_is_bounded_predict_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # the old ×C cross join
     assert "partial_count" in plan or "partial_sum" in plan
-    assert "partial_min" in plan  # the fixed-width-string argmax
 
 
 def test_nb_classify_beats_prior(spark):
