@@ -319,3 +319,42 @@ def test_export_jsonl_ordered_is_globally_sorted(job, spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan
     assert "SinglePartition" not in plan
+
+
+def test_classify_docs_adversarial_labels_and_plan(spark):
+    """classify_docs must never interpolate crawl-sourced lang values into
+    SQL text (quotes/brackets in labels are attacker/author-controlled),
+    and its predict pass must be the pivoted shape: one broadcast hash
+    join, no ×C cross join, no window."""
+    from pdf_extract_spark.plans.corpus import classify_docs
+
+    rows = []
+    for i, lang in enumerate(["en", "x'); --", 'q"`[m]', "en", "en"]):
+        rows.append((f"https://t{i}.example.com/", TS, lang,
+                     "html" if i % 2 == 0 else "pdf",
+                     "plain words here " * 20, f"sha{i}"))
+    docs = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, lang string, "
+              "doc_kind string, text string, text_sha string")
+    out = classify_docs(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    got = {r["url"]: r for r in out.collect()}  # must not raise
+    assert len(got) == 5
+    assert all(r["pred_lang"] is not None for r in got.values())
+
+
+def test_classify_docs_all_pdf_corpus_passes_through(spark):
+    """No trusted (HTML) labels anywhere -> nothing can be audited: the
+    stage must pass every doc (previously: IndexError at plan build)."""
+    from pdf_extract_spark.plans.corpus import classify_docs
+
+    docs = spark.createDataFrame(
+        [(f"https://p{i}.example.com/", TS, "en", "pdf",
+          "pdf words " * 10, f"s{i}") for i in range(4)],
+        "url string, warc_ts timestamp, lang string, doc_kind string, "
+        "text string, text_sha string")
+    out = classify_docs(docs).collect()
+    assert len(out) == 4 and all(r["keep"] for r in out)
+    assert all(r["lang_margin"] == 0 for r in out)
