@@ -358,3 +358,23 @@ def test_classify_docs_all_pdf_corpus_passes_through(spark):
     out = classify_docs(docs).collect()
     assert len(out) == 4 and all(r["keep"] for r in out)
     assert all(r["lang_margin"] == 0 for r in out)
+
+
+def test_report_pieces_match_lineage(job, spark):
+    """The report job's three sections derive purely from committed
+    artifacts: the funnel equals the per-stage lineage, the quarantine
+    taxonomy sums to the funnel's quarantine total, and the split/lang
+    breakdown covers the final corpus exactly."""
+    from pdf_extract_spark.plans.corpus import (
+        STAGES, _read_stage_lineage, corpus, quarantine_all)
+
+    out, stats = job
+    for stage in STAGES:
+        lin = _read_stage_lineage(out, stage)
+        assert lin is not None
+        assert lin["n_out"] == stats["stages"][stage]["n_out"], stage
+    n_quar = sum(stats["stages"][s]["n_quarantined"] for s in STAGES)
+    assert quarantine_all(spark, out).count() == n_quar
+    n_final = stats["stages"]["split"]["n_out"]
+    bd = (corpus(spark, out).groupBy("split", "lang").count().collect())
+    assert sum(r["count"] for r in bd) == n_final
