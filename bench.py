@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "bpe_train",
     "bpe_encode",
     "kmeans_embed",
+    "extract_markdown",
 ]
 
 

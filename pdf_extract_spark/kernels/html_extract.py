@@ -308,13 +308,14 @@ def _collect_blocks_reference(html: str) -> list[tuple[str, int, int, str]]:
     return parser.blocks
 
 
-def extract_main_text(html: str) -> str:
-    """Strip boilerplate, return main content joined by blank lines.
-
-    Classification per block: drop if link density > MAX_LINK_DENSITY or the
-    block is too short to be content (unless it is a heading adjacent to a
-    kept content block, which we keep for structure).
-    """
+def _kept_blocks(html: str) -> list[tuple[str, str]]:
+    """The shared classification behind BOTH output renderers: [(text,
+    tag)] of content blocks in document order. Drop if link density >
+    MAX_LINK_DENSITY or the block is too short to be content — unless it
+    is a heading adjacent to a kept content block, kept for structure.
+    extract_main_text and extract_main_markdown render the IDENTICAL
+    block set (invariant test-gated), so switching output formats can
+    never change what content survives."""
     blocks = _collect_blocks(html)
     kept_flags = []
     for text, total, linked, tag in blocks:
@@ -332,16 +333,39 @@ def extract_main_text(html: str) -> str:
         kept_flags.append(is_content)
 
     # second pass: keep short headings that introduce kept content
-    out: list[str] = []
+    out: list[tuple[str, str]] = []
     for i, (text, total, linked, tag) in enumerate(blocks):
         if kept_flags[i]:
-            out.append(text)
+            out.append((text, tag))
         elif tag in _HEADINGS and linked == 0:
             # keep a heading that introduces kept content (blocks are never
             # empty — flush() drops blanks — so "next" is simply i+1)
             if i + 1 < len(blocks) and kept_flags[i + 1]:
-                out.append(text)
-    return "\n\n".join(out).strip()
+                out.append((text, tag))
+    return out
+
+
+def extract_main_text(html: str) -> str:
+    """Strip boilerplate, return main content joined by blank lines (the
+    byte-identical north-rule surface; see _kept_blocks)."""
+    return "\n\n".join(t for t, _ in _kept_blocks(html)).strip()
+
+
+_MD_PREFIX = {"h1": "# ", "h2": "## ", "h3": "### ", "h4": "#### ",
+              "h5": "##### ", "h6": "###### ", "li": "- ",
+              "blockquote": "> "}
+
+
+def extract_main_markdown(html: str) -> str:
+    """Structure-preserving variant of extract_main_text: the SAME kept
+    blocks (shared classification — format choice can never change the
+    surviving content), rendered as markdown — headings to #-prefixes by
+    level, list items to '- ', blockquotes to '> '; everything else is a
+    plain paragraph. Inline whitespace is already single-space-normalized
+    by the collector, so each block is exactly one markdown line."""
+    return "\n\n".join(
+        _MD_PREFIX.get(tag, "") + t for t, tag in _kept_blocks(html)
+    ).strip()
 
 
 # --- charset sniffing (WHATWG encoding-sniffing, simplified) ---------------

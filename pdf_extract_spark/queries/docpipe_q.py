@@ -152,3 +152,95 @@ def embed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         _embed_batches,
         schema="doc_id long, chunk_idx long, dim long, norm_r double")
+
+
+# --- markdown extraction roundtrip ------------------------------------------
+
+_MD_LI = ("supporting point {g} for document {i} in the corpus",)
+
+
+def encode_md_page(doc_id: int, text: str) -> bytes:
+    """encode_page plus document STRUCTURE: a (short) <h2> title the
+    extractor must rescue via heading-adjacency, and a trailing two-item
+    <ul> — so the markdown renderer has all three block kinds (heading /
+    paragraph / list item) to prove on."""
+    paras = "".join(f"<p>{_html.escape(p)}</p>" for p in text.split("\n\n"))
+    lis = "".join(
+        f"<li>supporting point {g} for document {doc_id} in the corpus</li>"
+        for g in ("alpha", "beta"))
+    page = (
+        "<!DOCTYPE html><html><head><title>d</title>"
+        "<script>var x=1;</script><style>.a{color:red}</style></head><body>"
+        f"<header><nav>{_BOILER_NAV}</nav></header>{_BOILER_ADS}"
+        f"<article><h2>Document {doc_id}</h2>{paras}<ul>{lis}</ul></article>"
+        f"{_BOILER_FOOT}</body></html>"
+    )
+    return page.encode("utf-8")
+
+
+def _markdown_batches(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from pdf_extract_spark.kernels.decode import text_sha256
+    from pdf_extract_spark.kernels.html_extract import extract_main_markdown
+
+    for pdf in pdfs:
+        shas, blocks = [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            md = extract_main_markdown(
+                encode_md_page(int(doc_id), text or "").decode("utf-8"))
+            shas.append(text_sha256(md))
+            blocks.append(len(md.split("\n\n")) if md else 0)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "md_sha": shas,
+                            "n_blocks": blocks})
+
+
+@register(
+    "extract_markdown",
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id,
+             list_filter(list_transform(
+               string_split(text, chr(10) || chr(10)),
+               p -> trim(regexp_replace(p, '\s+', ' ', 'g'))),
+               p -> p <> '') AS nb
+      FROM documents),
+    kept AS (
+      SELECT doc_id, nb,
+             list_filter(nb, p -> length(p) >= 25
+                                  AND len(string_split(p, ' ')) >= 4) AS kp,
+             (len(nb) = 0 OR (length(nb[1]) >= 25
+                              AND len(string_split(nb[1], ' ')) >= 4))
+                 AS head_kept
+      FROM norm),
+    md AS (
+      SELECT doc_id,
+             array_to_string(
+               list_concat(list_concat(
+                 CASE WHEN head_kept
+                      THEN ['## Document ' || CAST(doc_id AS VARCHAR)]
+                      ELSE CAST([] AS VARCHAR[]) END,
+                 kp),
+                 ['- supporting point alpha for document '
+                      || CAST(doc_id AS VARCHAR) || ' in the corpus',
+                  '- supporting point beta for document '
+                      || CAST(doc_id AS VARCHAR) || ' in the corpus']),
+               chr(10) || chr(10)) AS m,
+             (CASE WHEN head_kept THEN 1 ELSE 0 END + len(kp) + 2) AS nbl
+      FROM kept)
+    SELECT doc_id, sha256(m) AS md_sha, CAST(nbl AS BIGINT) AS n_blocks
+    FROM md
+    """,
+)
+def extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 structure-preserving variant: encode a page WITH structure
+    (heading + paragraphs + list) → HTML-parse → boilerplate-strip →
+    render MARKDOWN (kernels/html_extract.extract_main_markdown: the
+    SAME kept-block classification as the byte-identical text surface,
+    different renderer) → SHA-256, all inside one Arrow-batched
+    mapInPandas (narrow, zero shuffles). The oracle rebuilds the exact
+    markdown string relationally — heading rescue (short <h2> kept iff
+    its following block is kept), paragraph gates, '-' list rendering —
+    so any divergence in classification OR rendering flips the digest."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        _markdown_batches,
+        schema="doc_id long, md_sha string, n_blocks long")

@@ -462,3 +462,49 @@ def test_charset_unclosed_comment_hides_meta():
     html2 = _content_html('<!-- x --><meta charset="iso-8859-1">')
     text2, err2 = decode_html_bytes(html2.encode("cp1252"))
     assert err2 is None and "café" in text2
+
+
+def test_markdown_mode_same_blocks_different_rendering():
+    """extract_main_markdown must keep the IDENTICAL block set as
+    extract_main_text (shared classification) on every fixture page —
+    per-block the markdown form is the text form plus at most one known
+    prefix."""
+    from pdf_extract_spark.fixtures.pages import make_payload
+    from pdf_extract_spark.kernels.html_extract import (
+        _MD_PREFIX, extract_main_markdown, extract_main_text)
+
+    checked = 0
+    for i in range(300):
+        payload, _ = make_payload(i)
+        if payload[:5] == b"%PDF-" or not payload:
+            continue
+        try:
+            html = payload.decode("utf-8")
+        except UnicodeDecodeError:
+            continue
+        txt = extract_main_text(html)
+        md = extract_main_markdown(html)
+        t_blocks = txt.split("\n\n") if txt else []
+        m_blocks = md.split("\n\n") if md else []
+        assert len(t_blocks) == len(m_blocks), i
+        prefixes = tuple(_MD_PREFIX.values())
+        for tb, mb in zip(t_blocks, m_blocks):
+            assert mb == tb or any(mb == p + tb for p in prefixes), i
+        checked += 1
+    assert checked > 200
+
+
+def test_markdown_rendering_by_tag():
+    from pdf_extract_spark.kernels.html_extract import extract_main_markdown
+
+    body = ("<h3>Tiny Head</h3>"
+            "<p>" + "eight solid words of content right here now " * 2
+            + "</p>"
+            "<ul><li>" + "a bullet with comfortably enough words in it "
+            + "</li></ul>")
+    md = extract_main_markdown(f"<html><body><article>{body}</article>"
+                               "</body></html>")
+    blocks = md.split("\n\n")
+    assert blocks[0] == "### Tiny Head"        # heading rescue + level
+    assert blocks[1].startswith("eight solid")  # plain paragraph
+    assert blocks[2].startswith("- a bullet")   # list item

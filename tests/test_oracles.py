@@ -77,6 +77,7 @@ SMOKE = [
     "bpe_train",
     "bpe_encode",
     "kmeans_embed",
+    "extract_markdown",
 ]
 
 
