@@ -44,9 +44,13 @@ def main() -> None:
                 {k: lin[k] for k in ("n_in", "n_out", "n_quarantined",
                                      "digest")}
                 if lin is not None else "uncommitted")
+        # committed_only: a crashed stage may hold quarantine data on
+        # disk without its marker — those rows are outside any committed
+        # accounting and would break taxonomy-vs-funnel conservation on
+        # a partial run (module docstring: committed state only)
         taxonomy = {
             f"{r['stage']}:{r['error']}": r["n"]
-            for r in (quarantine_all(spark, args.job)
+            for r in (quarantine_all(spark, args.job, committed_only=True)
                       .groupBy("stage", "error")
                       .agg(F.count("*").cast("bigint").alias("n"))
                       .collect())}

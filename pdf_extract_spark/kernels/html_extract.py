@@ -355,6 +355,10 @@ _MD_PREFIX = {"h1": "# ", "h2": "## ", "h3": "### ", "h4": "#### ",
               "h5": "##### ", "h6": "###### ", "li": "- ",
               "blockquote": "> "}
 
+# a PLAIN paragraph starting with one of the renderer's own structure
+# markers would be indistinguishable from generated structure — escape it
+_MD_INJECT_RE = re.compile(r"^(#{1,6} |- |> )")
+
 
 def extract_main_markdown(html: str) -> str:
     """Structure-preserving variant of extract_main_text: the SAME kept
@@ -362,10 +366,27 @@ def extract_main_markdown(html: str) -> str:
     surviving content), rendered as markdown — headings to #-prefixes by
     level, list items to '- ', blockquotes to '> '; everything else is a
     plain paragraph. Inline whitespace is already single-space-normalized
-    by the collector, so each block is exactly one markdown line."""
-    return "\n\n".join(
-        _MD_PREFIX.get(tag, "") + t for t, tag in _kept_blocks(html)
-    ).strip()
+    by the collector, so each block is exactly one markdown line.
+
+    Two injection/rendering rules keep the surface faithful markdown:
+    a plain paragraph whose crawl content BEGINS with one of the
+    renderer's own markers ('# '..'###### ', '- ', '> ') gets a leading
+    backslash (CommonMark escape) so content can never forge structure;
+    and CONSECUTIVE <li> blocks are joined by a single newline (one tight
+    list), not the blank line that would render them as separate loose
+    lists. Classification is untouched by both — splitting markdown on
+    newlines recovers the exact extract_main_text block set."""
+    out: list[tuple[str, str]] = []
+    for t, tag in _kept_blocks(html):
+        if tag in _MD_PREFIX:
+            line = _MD_PREFIX[tag] + t
+        else:
+            line = _MD_INJECT_RE.sub(lambda m: "\\" + m.group(0), t)
+        if tag == "li" and out and out[-1][1] == "li":
+            out[-1] = (out[-1][0] + "\n" + line, "li")
+        else:
+            out.append((line, tag))
+    return "\n\n".join(s for s, _ in out).strip()
 
 
 # --- charset sniffing (WHATWG encoding-sniffing, simplified) ---------------
@@ -419,7 +440,12 @@ def sniff_encoding(payload: bytes) -> tuple[str | None, bool]:
         return "utf-16-le", True
     if payload[:2] == b"\xfe\xff":
         return "utf-16-be", True
-    head = _COMMENT_RE.sub("", payload[:1024].decode("latin-1"))
+    # replace each comment with ONE SPACE, never the empty string: an
+    # empty-string splice concatenates the surrounding bytes and can
+    # FABRICATE a tag no sequential WHATWG prescan would ever see
+    # ('<met<!-- -->a charset=big5>' -> '<meta charset=big5>', honoring
+    # a bogus legacy label). A space keeps the flanks apart.
+    head = _COMMENT_RE.sub(" ", payload[:1024].decode("latin-1"))
     for m in _META_RE.finditer(head):
         tok = m.group(0)
         c = _CHARSET_ATTR_RE.search(tok)

@@ -87,6 +87,17 @@ QUAR_SCHEMA = "url string, stage string, error string"
 LINEAGE_SCHEMA = ("stage string, n_in long, n_out long, n_quarantined long, "
                   "digest string")
 
+# Lineage format version, stamped into every commit marker. Resume trusts
+# committed stage TABLES as-is, so a marker written by incompatible code
+# is a correctness hazard, not a compatibility shim opportunity: e.g. the
+# round-4 classify stage both ADDED a stage to STAGES and widened the
+# doc schema with doc_kind — a pre-change job resumed by newer code would
+# skip extract/clean/gate from tables lacking doc_kind and crash (or,
+# worse, silently choose different dedup winners via the widened
+# _doc_key). Bump this on ANY change to STAGES, stage table schemas, or
+# winner/ordering semantics; mismatches fail fast with instructions.
+LINEAGE_FMT = 2
+
 # near-dup parameters — same family as queries/dedup_q.py (cited there:
 # Broder minhashing; MAX_BUCKET cap for degenerate boilerplate buckets)
 SHINGLE_N = 3
@@ -295,8 +306,20 @@ def classify_docs(docs: DataFrame) -> DataFrame:
     # silently TRUNCATE, corrupting the argmax for any very long doc
     keys = [F.concat(F.lpad((F.lit(CLS_KEY_OFF) - score[c]).cast("string"),
                             9, "0"), F.lit(c)) for c in classes]
-    own = F.create_map(
-        *[x for c in classes for x in (F.lit(c), score[c])])[F.col("lang")]
+    # a declared lang with NO trusted examples is not exempt from the
+    # audit: its own-model score is the uniform floor — exactly what the
+    # fitted formula yields for a zero-data class under Laplace smoothing
+    # (every token bucket scores bits(0+1)=1, normalizer bits(0+CLS_B),
+    # prior bits(0)=0) — so a doc that CONFIDENTLY looks like a fitted
+    # class still crosses CLS_MARGIN and quarantines, while genuinely
+    # out-of-model docs score near the floor themselves and pass
+    unseen_floor = (F.col("n_tok")
+                    * F.lit(1 - CLS_B.bit_length())).cast("bigint")
+    own = F.coalesce(
+        F.create_map(
+            *[x for c in classes for x in (F.lit(c), score[c])])
+        [F.col("lang")],
+        unseen_floor)
     verdict = (agg.select(
         "url",
         F.least(*keys).alias("k") if len(keys) > 1 else keys[0].alias("k"),
@@ -622,6 +645,7 @@ def _publish_stage_lineage(out_dir: str, stage: str, n_in: int, n_out: int,
         "stage": [stage],
         "n_in": [int(n_in)], "n_out": [int(n_out)],
         "n_quarantined": [int(n_quar)], "digest": [digest],
+        "fmt": [LINEAGE_FMT],
     })
     os.makedirs(os.path.join(out_dir, "lineage"), exist_ok=True)
     tmp = os.path.join(out_dir, f"_lineage_tmp_{stage}.parquet")
@@ -647,7 +671,19 @@ def _read_stage_lineage(out_dir: str, stage: str) -> dict | None:
         raise RuntimeError(
             f"stage lineage {path} unreadable but not provably torn "
             f"({e!r}); refusing to resume") from e
-    return {k: t.column(k)[0].as_py() for k in t.column_names}
+    lin = {k: t.column(k)[0].as_py() for k in t.column_names}
+    fmt = lin.get("fmt")
+    if fmt != LINEAGE_FMT:
+        # committed by incompatible code: its stage tables may lack
+        # columns this version requires (doc_kind) or encode different
+        # winner semantics — resuming from them is silent corruption
+        raise RuntimeError(
+            f"stage lineage {path} has format {fmt!r}, this code writes "
+            f"format {LINEAGE_FMT}: the job was committed by an "
+            f"incompatible pipeline version. Re-run it in a fresh "
+            f"--output directory (committed stage tables cannot be "
+            f"safely reinterpreted).")
+    return lin
 
 
 def _docs_count_digest(spark: SparkSession, docs_dir: str) -> tuple[int, str]:
@@ -893,10 +929,21 @@ def sequences(spark: SparkSession, out_dir: str) -> DataFrame:
         os.path.join(_stage_dir(out_dir, "pack"), "sequences"))
 
 
-def quarantine_all(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Union of every stage's quarantine rows (url, stage, error)."""
+def quarantine_all(spark: SparkSession, out_dir: str,
+                   committed_only: bool = False) -> DataFrame:
+    """Union of every stage's quarantine rows (url, stage, error).
+
+    ``committed_only=True`` reads a stage's quarantine dir only when its
+    lineage marker is committed. A crashed stage can leave quarantine
+    data on disk with NO marker (the data-written/marker-missing crash
+    window); on a partial run those rows are not part of any committed
+    accounting, so a report that includes them will not sum to the
+    funnel. Observability readers (jobs/corpus_report_job.py) pass True;
+    the default False preserves the raw on-disk union for forensics."""
     out = _empty_quarantine(spark)
     for stage in STAGES:
+        if committed_only and _read_stage_lineage(out_dir, stage) is None:
+            continue
         qdir = _quarantine_dir(out_dir, stage)
         if os.path.isdir(qdir):
             out = out.unionByName(

@@ -218,13 +218,16 @@ def _markdown_batches(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                  CASE WHEN head_kept
                       THEN ['## Document ' || CAST(doc_id AS VARCHAR)]
                       ELSE CAST([] AS VARCHAR[]) END,
-                 kp),
+                 list_transform(kp, p ->
+                   CASE WHEN regexp_matches(p, '^(#{1,6} |- |> )')
+                        THEN '\' || p ELSE p END)),
                  ['- supporting point alpha for document '
-                      || CAST(doc_id AS VARCHAR) || ' in the corpus',
-                  '- supporting point beta for document '
+                      || CAST(doc_id AS VARCHAR) || ' in the corpus'
+                      || chr(10)
+                      || '- supporting point beta for document '
                       || CAST(doc_id AS VARCHAR) || ' in the corpus']),
                chr(10) || chr(10)) AS m,
-             (CASE WHEN head_kept THEN 1 ELSE 0 END + len(kp) + 2) AS nbl
+             (CASE WHEN head_kept THEN 1 ELSE 0 END + len(kp) + 1) AS nbl
       FROM kept)
     SELECT doc_id, sha256(m) AS md_sha, CAST(nbl AS BIGINT) AS n_blocks
     FROM md
@@ -238,8 +241,11 @@ def extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     different renderer) → SHA-256, all inside one Arrow-batched
     mapInPandas (narrow, zero shuffles). The oracle rebuilds the exact
     markdown string relationally — heading rescue (short <h2> kept iff
-    its following block is kept), paragraph gates, '-' list rendering —
-    so any divergence in classification OR rendering flips the digest."""
+    its following block is kept), paragraph gates, '-' list rendering
+    with adjacent <li>s newline-joined as ONE tight list, and the
+    CommonMark backslash-escape of paragraphs that begin with a structure
+    marker — so any divergence in classification OR rendering flips the
+    digest."""
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInPandas(
         _markdown_batches,

@@ -378,3 +378,80 @@ def test_report_pieces_match_lineage(job, spark):
     n_final = stats["stages"]["split"]["n_out"]
     bd = (corpus(spark, out).groupBy("split", "lang").count().collect())
     assert sum(r["count"] for r in bd) == n_final
+
+
+def test_partial_run_taxonomy_reads_only_committed_stages(spark, tmp_path):
+    """A stage that crashed AFTER writing its quarantine rows but BEFORE
+    its commit marker must be invisible to committed_only readers: on a
+    partial run the taxonomy would otherwise include uncommitted rows and
+    stop summing to the funnel (the report job's conservation law)."""
+    out = str(tmp_path / "partial")
+    with pytest.raises(CorpusJobInterrupted):
+        run_corpus_prep(spark, out, pages=_pages(spark),
+                        num_partitions=16, fail_after="gate")
+    # the crashed stage's quarantine data is on disk, marker missing
+    assert os.path.isdir(os.path.join(out, "stages", "gate", "quarantine"))
+    assert not os.path.exists(os.path.join(out, "lineage", "gate.parquet"))
+    committed = quarantine_all(spark, out, committed_only=True)
+    stages_seen = {r["stage"] for r in committed.collect()}
+    assert "gate" not in stages_seen
+    assert stages_seen <= {"extract", "clean"}
+    # the raw union (forensics default) still shows the crashed rows
+    raw = {r["stage"] for r in quarantine_all(spark, out).collect()}
+    assert "gate" in raw
+    # conservation: committed taxonomy == sum of committed markers
+    from pdf_extract_spark.plans.corpus import _read_stage_lineage
+    n_committed = sum(
+        _read_stage_lineage(out, s)["n_quarantined"]
+        for s in ("extract", "clean"))
+    assert committed.count() == n_committed
+
+
+def test_classify_docs_unseen_declared_lang_not_exempt(spark):
+    """A declared lang with NO trusted examples scores at the uniform
+    floor, so a doc that confidently looks like a fitted class is still
+    quarantined (previously own=NULL -> margin coalesced to 0 and any
+    rare-lang declaration silently bypassed the CCNet gate), while a
+    genuinely out-of-model doc stays near the floor and passes."""
+    from pdf_extract_spark.plans.corpus import classify_docs
+
+    en_text = "plain english words appear throughout this page " * 20
+    oov_text = " ".join(f"zq{i}xv{i * 7 % 97}" for i in range(160))
+    rows = [
+        # trusted fit set: two English HTML pages
+        ("https://f0.example.com/", TS, "en", "html", en_text, "s0"),
+        ("https://f1.example.com/", TS, "en", "html", en_text, "s1"),
+        # confident mislabel of an UNSEEN lang: English text declared xx
+        ("https://bad.example.com/", TS, "xx", "pdf", en_text, "s2"),
+        # unseen lang with out-of-model text: must pass (near the floor)
+        ("https://ok.example.com/", TS, "yy", "pdf", oov_text, "s3"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, lang string, "
+              "doc_kind string, text string, text_sha string")
+    got = {r["url"]: r for r in classify_docs(docs).collect()}
+    bad = got["https://bad.example.com/"]
+    assert not bad["keep"] and bad["pred_lang"] == "en"
+    assert got["https://ok.example.com/"]["keep"]
+    assert got["https://f0.example.com/"]["keep"]
+
+
+def test_lineage_format_mismatch_fails_fast(spark, tmp_path):
+    """A commit marker written by an incompatible pipeline version (wrong
+    or missing fmt stamp) must abort resume with instructions, never
+    silently reinterpret the committed stage tables."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extract_spark.plans.corpus import _read_stage_lineage
+
+    out = str(tmp_path / "oldfmt")
+    os.makedirs(os.path.join(out, "lineage"))
+    pq.write_table(
+        pa.table({"stage": ["extract"], "n_in": [10], "n_out": [9],
+                  "n_quarantined": [1], "digest": ["d"]}),  # no fmt column
+        os.path.join(out, "lineage", "extract.parquet"))
+    with pytest.raises(RuntimeError, match="incompatible pipeline version"):
+        _read_stage_lineage(out, "extract")
+    with pytest.raises(RuntimeError, match="incompatible pipeline version"):
+        run_corpus_prep(spark, out, pages=None, num_partitions=4)

@@ -485,11 +485,16 @@ def test_markdown_mode_same_blocks_different_rendering():
         txt = extract_main_text(html)
         md = extract_main_markdown(html)
         t_blocks = txt.split("\n\n") if txt else []
-        m_blocks = md.split("\n\n") if md else []
+        # tight lists join adjacent li blocks with a single newline;
+        # splitting every markdown paragraph on newlines recovers the
+        # per-block line set the classifier produced
+        m_blocks = ([ln for b in md.split("\n\n") for ln in b.split("\n")]
+                    if md else [])
         assert len(t_blocks) == len(m_blocks), i
         prefixes = tuple(_MD_PREFIX.values())
         for tb, mb in zip(t_blocks, m_blocks):
-            assert mb == tb or any(mb == p + tb for p in prefixes), i
+            assert (mb == tb or mb == "\\" + tb
+                    or any(mb == p + tb for p in prefixes)), i
         checked += 1
     assert checked > 200
 
@@ -508,3 +513,29 @@ def test_markdown_rendering_by_tag():
     assert blocks[0] == "### Tiny Head"        # heading rescue + level
     assert blocks[1].startswith("eight solid")  # plain paragraph
     assert blocks[2].startswith("- a bullet")   # list item
+
+
+def test_markdown_tight_lists_and_structure_escape():
+    """Adjacent <li> blocks render as ONE tight list (single-newline
+    joins); a plain paragraph beginning with a structure marker is
+    backslash-escaped so crawl content cannot forge structure."""
+    from pdf_extract_spark.kernels.html_extract import extract_main_markdown
+
+    filler = "comfortably enough plain words to pass the block gates "
+    body = ("<ul>"
+            f"<li>first bullet {filler}</li>"
+            f"<li>second bullet {filler}</li>"
+            "</ul>"
+            f"<p>- {filler}{filler}</p>"
+            f"<p># {filler}{filler}</p>"
+            f"<p>&gt; {filler}{filler}</p>"
+            f"<p>-no space so no escape {filler}</p>")
+    md = extract_main_markdown(f"<html><body><article>{body}</article>"
+                               "</body></html>")
+    blocks = md.split("\n\n")
+    assert blocks[0] == (f"- first bullet {filler}".strip()
+                         + "\n" + f"- second bullet {filler}".strip())
+    assert blocks[1].startswith("\\- ")
+    assert blocks[2].startswith("\\# ")
+    assert blocks[3].startswith("\\> ")
+    assert blocks[4].startswith("-no space")
