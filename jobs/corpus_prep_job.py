@@ -33,7 +33,12 @@ def main() -> None:
     ap.add_argument("--master", default=None)
     ap.add_argument("--fail-after", default=None, choices=[None] + [
         "extract", "clean", "gate", "classify", "dedup_para", "dedup_doc",
-        "split", "pack"], help="crash-injection test hook")
+        "cut_spans", "split", "pack"], help="crash-injection test hook")
+    ap.add_argument("--cut-spans", action="store_true",
+                    help="enable the optional ExactSubstr span-excision "
+                         "stage (Lee et al. 2022) between dedup_doc and "
+                         "split; must be stable across resumes of one "
+                         "--output dir")
     args = ap.parse_args()
 
     from pdf_extract_spark.session import get_spark
@@ -54,7 +59,8 @@ def main() -> None:
         t0 = time.monotonic()
         stats = run_corpus_prep(spark, args.output, pages=pages,
                                 num_partitions=args.partitions,
-                                fail_after=args.fail_after)
+                                fail_after=args.fail_after,
+                                cut_spans=args.cut_spans)
         wall = time.monotonic() - t0
         n_in = stats["stages"]["extract"]["n_in"]
         stats["wall_s"] = round(wall, 3)

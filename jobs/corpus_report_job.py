@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 
 def main() -> None:
@@ -40,6 +41,9 @@ def main() -> None:
         funnel = {}
         for stage in STAGES:
             lin = _read_stage_lineage(args.job, stage)
+            if lin is None and not os.path.isdir(
+                    os.path.join(args.job, "stages", stage)):
+                continue  # optional stage never enabled for this job
             funnel[stage] = (
                 {k: lin[k] for k in ("n_in", "n_out", "n_quarantined",
                                      "digest")}

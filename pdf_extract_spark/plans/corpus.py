@@ -81,7 +81,12 @@ from ..queries.pipeline_q import _PAT_EMAIL, _PAT_IP, _PAT_PHONE
 from .pipeline import _is_torn_parquet, _sum_digest
 
 STAGES = ("extract", "clean", "gate", "classify", "dedup_para", "dedup_doc",
-          "split", "pack")
+          "cut_spans", "split", "pack")
+# cut_spans is OPTIONAL (run_corpus_prep(cut_spans=True)): ExactSubstr
+# span excision between document dedup and the split. When disabled the
+# stage leaves no marker and no directory; the flag must be stable across
+# resume attempts of one --output dir (guarded — mixing produces a
+# corpus where committed downstream tables saw different text).
 
 QUAR_SCHEMA = "url string, stage string, error string"
 LINEAGE_SCHEMA = ("stage string, n_in long, n_out long, n_quarantined long, "
@@ -511,6 +516,77 @@ def dedup_documents(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return kept, dropped, keyed
 
 
+CUT_N = 8  # words per excision gram. Lee et al. 2022 cut duplicated
+#            >=50-BPE-token spans; the synth corpus docs are ~30-60 words,
+#            so 8 keeps planted spans detectable — the plan shape is
+#            length-independent.
+
+
+def cut_dup_spans(docs: DataFrame) -> DataFrame:
+    """ExactSubstr span excision (Lee et al. 2022 §4.1 — remove every
+    duplicated >=CUT_N-token span from all but its first corpus-wide
+    occurrence and reassemble the document). Registry twin:
+    pipeline_q.dedup_substring_cut, which the DuckDB oracle proves
+    value-exact; this production stage swaps its sha-friendly gram
+    strings for the job's hash discipline.
+
+    Production-hash shape (the _shingle_sets idiom): every word is hashed
+    ONCE per hash family (two independent xxhash64 passes), and each gram
+    key is a variadic xxhash64 over the CUT_N word-hash longs — no gram
+    string is ever materialized, and shuffle rows are two fixed longs. A
+    collision that CUTS innocent text needs simultaneous collisions in
+    both independent word-hash families (effectively 128-bit over
+    content) — birthday-safe at 10^12 grams.
+
+    Tokenization is plain single-space split — exactly invertible
+    (split + join restores every byte, including runs of spaces via empty
+    tokens), so untouched documents come back byte-identical; paragraph
+    breaks ride inside composite tokens and survive excision of other
+    spans.
+
+    Scale: strictly linear, no pair expansion — one groupBy(gram key)
+    with map-side-partial MIN+COUNT (hot boilerplate grams collapse to
+    one partial per task), one equi-join back (linear in postings), a
+    bounded xCUT_N map-side position expansion, one distinct +
+    groupBy(url) whose collect_set is bounded by a single doc's length,
+    and one url equi-join for reassembly via a HOF filter."""
+    base = docs.select("url", "warc_ts", "lang", "text",
+                       F.split("text", " ").alias("w"),
+                       _doc_key().alias("doc_key"))
+    wh = (base.filter(F.size("w") >= CUT_N)
+          .withColumn("wh1", F.expr("transform(w, x -> xxhash64(x))"))
+          .withColumn("wh2", F.expr("transform(w, x -> xxhash64(2, x))")))
+    g1s = ", ".join(f"element_at(wh1, i + {j + 1})" for j in range(CUT_N))
+    g2s = ", ".join(f"element_at(wh2, i + {j + 1})" for j in range(CUT_N))
+    grams = F.expr(
+        f"transform(sequence(0, size(w) - {CUT_N}), i -> struct("
+        f"xxhash64({g1s}) AS g1, xxhash64(1, {g2s}) AS g2))")
+    occ = (wh.select("url", "doc_key",
+                     F.posexplode(grams).alias("pos", "g"))
+           .select("url",
+                   F.col("g.g1").alias("g1"), F.col("g.g2").alias("g2"),
+                   "pos",
+                   F.concat("doc_key",
+                            F.lpad(F.col("pos").cast("string"), 9, "0"))
+                   .alias("enc")))
+    firsts = (occ.groupBy("g1", "g2")
+              .agg(F.min("enc").alias("f_enc"), F.count("*").alias("cnt")))
+    cutpos = (occ.join(firsts, ["g1", "g2"])
+              .filter((F.col("cnt") >= 2) & (F.col("enc") != F.col("f_enc")))
+              .select("url", F.explode(F.expr(
+                  f"sequence(pos, pos + {CUT_N} - 1)")).alias("wp"))
+              .distinct())
+    percut = cutpos.groupBy("url").agg(F.collect_set("wp").alias("cuts"))
+    return (base.join(percut, "url", "left")
+            .select("url", "warc_ts", "lang",
+                    F.when(F.col("cuts").isNull(), F.col("text"))
+                    .otherwise(F.concat_ws(" ", F.filter(
+                        "w", lambda x, i: ~F.array_contains(F.col("cuts"),
+                                                            i))))
+                    .alias("text"))
+            .withColumn("text_sha", F.sha2("text", 256)))
+
+
 def split_docs(docs: DataFrame) -> DataFrame:
     """Deterministic train/val/test assignment (12/2/2 of 16 xxhash64
     buckets on a salted url hash — content-independent, so re-extraction
@@ -713,6 +789,7 @@ def run_corpus_prep(
     pages: DataFrame | None = None,
     num_partitions: int | None = None,
     fail_after: str | None = None,
+    cut_spans: bool = False,
 ) -> dict:
     """Run (or resume) the fused corpus-preparation pipeline.
 
@@ -720,13 +797,29 @@ def run_corpus_prep(
     committed. ``fail_after`` is the crash-injection test hook: raise
     CorpusJobInterrupted after the named stage's DATA is fully written
     but BEFORE its commit marker — the worst crash point, which resume
-    must treat as 'stage never happened'.
+    must treat as 'stage never happened'. ``cut_spans`` enables the
+    optional ExactSubstr excision stage between dedup_doc and split; the
+    flag must match across resume attempts of one --output dir (guarded).
 
     Returns {"stages": {name: {...}}, "n_docs": int, "wall_s": float}.
     """
     t_job = time.monotonic()
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
+
+    # flag-stability guards: committed state must agree with cut_spans
+    cut_lin = _read_stage_lineage(out_dir, "cut_spans")
+    if not cut_spans and cut_lin is not None:
+        raise RuntimeError(
+            f"{out_dir} has a committed cut_spans stage but this run has "
+            f"cut_spans=False; resume with cut_spans=True or use a fresh "
+            f"--output directory")
+    if (cut_spans and cut_lin is None
+            and _read_stage_lineage(out_dir, "split") is not None):
+        raise RuntimeError(
+            f"{out_dir} committed its split stage WITHOUT the cut_spans "
+            f"stage; its downstream tables saw uncut text — re-run in a "
+            f"fresh --output directory")
 
     # crash cleanup: a stage directory without its commit marker is a
     # partial write (committer v2 exposes task files as tasks finish)
@@ -873,6 +966,20 @@ def run_corpus_prep(
             # never leak a corpus-sized MEMORY_AND_DISK cache into a
             # long-lived session
             cached.unpersist()
+
+    # --- cut_spans (optional ExactSubstr excision, Lee et al. 2022) ---
+    if cut_spans:
+        lin = _read_stage_lineage(out_dir, "cut_spans")
+        if lin is not None:
+            prev_docs, prev_n = _skip("cut_spans", lin)
+        else:
+            cut = cut_dup_spans(prev_docs)
+            ok = cut.filter(F.length("text") > 0)
+            quar = (cut.filter(F.length("text") == 0)
+                    .select("url", F.lit("cut_spans").alias("stage"),
+                            F.lit("all_text_duplicate").alias("error")))
+            prev_docs, prev_n = _commit_docs_stage("cut_spans", ok, quar,
+                                                   prev_n)
 
     # --- split ---
     lin = _read_stage_lineage(out_dir, "split")

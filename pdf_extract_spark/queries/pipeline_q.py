@@ -329,6 +329,157 @@ def dedup_substring_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_substring(spark, sf_dir, hash_fn="xx")
 
 
+# --- duplicated-substring EXCISION (ExactSubstr, the removal pass) ----------
+# dedup_substring above computes the per-doc duplicated-gram SIGNAL; the
+# production op of Lee et al. 2022 §4.1 REMOVES every duplicated >=N-token
+# span from all but its first corpus-wide occurrence and reassembles the
+# document. Occurrence counting is TOTAL (a span repeated within one doc is
+# cut at its later position too — ExactSubstr's suffix-array semantics),
+# unlike the signal op's >=2-distinct-docs rule.
+
+_SUBSTR_CUT_ORACLE_SQL = f"""
+    WITH {_DUCK_AUG},
+    wt AS (SELECT doc_id, string_split(text, ' ') AS w,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS L
+           FROM aug),
+    occ AS (
+      SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+        SELECT doc_id, unnest(list_transform(
+                 range(0, CAST(L - {SUBSTR_N} + 1 AS INT)),
+                 i -> struct_pack(
+                   pos := i,
+                   g := array_to_string(w[i + 1 : i + {SUBSTR_N}], ' '))))
+               AS u
+        FROM wt WHERE L >= {SUBSTR_N}) s),
+    firsts AS (
+      SELECT g, COUNT(*) AS cnt,
+             MIN(lpad(CAST(doc_id AS VARCHAR), 19, '0')
+                 || lpad(CAST(pos AS VARCHAR), 9, '0')) AS f_enc
+      FROM occ GROUP BY g),
+    cutocc AS (
+      SELECT occ.doc_id, occ.pos
+      FROM occ JOIN firsts USING (g)
+      WHERE firsts.cnt >= 2
+        AND lpad(CAST(occ.doc_id AS VARCHAR), 19, '0')
+            || lpad(CAST(occ.pos AS VARCHAR), 9, '0') <> firsts.f_enc),
+    cutpos AS (
+      SELECT DISTINCT doc_id, wp FROM (
+        SELECT doc_id, unnest(range(pos, pos + {SUBSTR_N})) AS wp
+        FROM cutocc) e),
+    percut AS (
+      SELECT doc_id, list(wp) AS cuts,
+             CAST(COUNT(*) AS BIGINT) AS n_cut
+      FROM cutpos GROUP BY doc_id)
+    SELECT wt.doc_id, wt.L AS n_words,
+           CAST(COALESCE(p.n_cut, 0) AS BIGINT) AS n_cut,
+           COALESCE(array_to_string(
+             list_transform(
+               list_filter(range(0, CAST(wt.L AS BIGINT)),
+                           i -> p.cuts IS NULL
+                                OR NOT list_contains(p.cuts, i)),
+               i -> wt.w[CAST(i AS INT) + 1]),
+             ' '), '') AS clean_text
+    FROM wt LEFT JOIN percut p ON p.doc_id = wt.doc_id
+    """
+
+
+@register("dedup_substring_cut", oracle=_SUBSTR_CUT_ORACLE_SQL)
+def dedup_substring_cut(spark: SparkSession, sf_dir: str,
+                        hash_fn: str = "text",
+                        materialize: bool = True) -> DataFrame:
+    """ExactSubstr span EXCISION (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", §4.1 — the removal pass their
+    production dedup runs, where dedup_substring above is only the
+    signal): every {SUBSTR_N}-word gram occurring >=2 times in the corpus
+    keeps its FIRST occurrence (min (doc_id, pos), the dedup_paragraph
+    winner discipline); every other occurrence marks its covered word
+    positions [pos, pos+{SUBSTR_N}) for removal — overlapping duplicated
+    grams merge into maximal cut spans for free, because removal is
+    per-position — and each document is reassembled from the surviving
+    words in original order. Runs over the planted-dup corpus
+    (dedup_q._aug_docs): each planted copy excises down to (at most) its
+    first {SUBSTR_N}-1 words while the originals stay byte-identical.
+
+    Scale shape — strictly linear, no pair expansion anywhere (test-gated
+    in tests/test_plans.py): one groupBy(gram) with map-side-partial
+    MIN(enc)+COUNT (hot boilerplate grams reduce to one partial per task
+    before the exchange), one equi-join of occurrences back to that
+    one-row-per-gram table (linear in postings — a gram in 10^6 docs
+    costs 10^6 join rows, never 10^12 pairs), a bounded x{SUBSTR_N}
+    map-side position expansion, one distinct + groupBy(doc_id) whose
+    collect_set state is bounded by a single document's own length, and
+    one doc_id equi-join for reassembly. The per-word cut test is a HOF
+    filter over the doc's own words — zero extra shuffles.
+
+    ``hash_fn="xx"`` pre-hashes grams to 128-bit double-xxhash64 keys
+    before the shuffle (fixed 32-char rows vs raw gram text — the
+    dominant shuffle-volume term at production 50-token grams; 64 bits
+    alone would birthday-collide at 10^12 grams and a collision here
+    CUTS innocent text). Keys are internal, so both variants share this
+    oracle verbatim."""
+    aug = _aug_docs(spark, sf_dir)
+    wt = (aug.withColumn("w", F.split("text", " "))
+          .withColumn("L", F.size("w").cast("bigint"))
+          .persist())  # reused: occurrence subtree + reassembly subtree
+    try:
+        enc = F.concat(F.lpad(F.col("doc_id").cast("string"), 19, "0"),
+                       F.lpad(F.col("pos").cast("string"), 9, "0"))
+        grams = F.expr(
+            f"transform(sequence(0, CAST(size(w) - {SUBSTR_N} AS INT)),"
+            f" i -> struct(i AS pos,"
+            f" concat_ws(' ', slice(w, i + 1, {SUBSTR_N})) AS g))")
+        occ = (wt.filter(F.col("L") >= SUBSTR_N)
+               .select("doc_id", F.explode(grams).alias("u"))
+               .select("doc_id", F.col("u.pos").alias("pos"),
+                       F.col("u.g").alias("g")))
+        if hash_fn == "xx":
+            occ = occ.withColumn("g", F.concat(
+                F.lpad(F.hex(F.xxhash64("g")), 16, "0"),
+                F.lpad(F.hex(F.xxhash64(F.lit(1), "g")), 16, "0")))
+        occ = occ.withColumn("enc", enc)
+        firsts = (occ.groupBy("g")
+                  .agg(F.count("*").alias("cnt"),
+                       F.min("enc").alias("f_enc")))
+        cutocc = (occ.join(firsts, "g")
+                  .filter((F.col("cnt") >= 2)
+                          & (F.col("enc") != F.col("f_enc"))))
+        cutpos = (cutocc.select(
+            "doc_id",
+            F.explode(F.expr(
+                f"sequence(pos, pos + {SUBSTR_N} - 1)")).alias("wp"))
+            .distinct())
+        percut = (cutpos.groupBy("doc_id")
+                  .agg(F.collect_set("wp").alias("cuts"),
+                       F.count("*").cast("bigint").alias("n_cut")))
+        out = (wt.join(percut, "doc_id", "left")
+               .select(
+                   "doc_id",
+                   F.col("L").alias("n_words"),
+                   F.coalesce("n_cut", F.lit(0)).cast("bigint")
+                   .alias("n_cut"),
+                   F.when(
+                       F.col("cuts").isNull(),
+                       F.concat_ws(" ", F.col("w")))
+                   .otherwise(F.concat_ws(" ", F.filter(
+                       "w",
+                       lambda x, i: ~F.array_contains(F.col("cuts"), i))))
+                   .alias("clean_text")))
+        # materialize before unpersisting the shared subtree;
+        # materialize=False exposes the raw plan (tests/test_plans.py)
+        return out.localCheckpoint(eager=True) if materialize else out
+    finally:
+        wt.unpersist()
+
+
+@register("dedup_substring_cut_xx", oracle=_SUBSTR_CUT_ORACLE_SQL)
+def dedup_substring_cut_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-hash ExactSubstr excision: dedup_substring_cut with the
+    128-bit double-xxhash64 gram keys (internal only), sharing the text
+    variant's DuckDB oracle verbatim — value-exact under the driver
+    gate."""
+    return dedup_substring_cut(spark, sf_dir, hash_fn="xx")
+
+
 # --- URL canonicalization ----------------------------------------------------
 # The documents table has no url column, so one is synthesized per doc the
 # same way text_q injects entities / pii_scrub injects PII: mixed-case

@@ -835,78 +835,81 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str,
     {WINNOW_W}-window, distinct (doc, pos, fp) output. The plagiarism/
     near-dup fingerprint with the (K+W-1)-word shared-run guarantee.
 
-    Scale: linear with a bounded constant — each gram joins the ≤ W
-    windows covering it (a ×{WINNOW_W} row expansion, NOT a pair
-    expansion), one shuffle on (doc_id, window) for the per-window
-    argmin, one distinct. Window ids derive from positions, so the
-    expansion is generated map-side by sequence(), never by join. The
-    fixture table is one parquet file → ~3 scan partitions, so the
-    gram/sha build is fanned out by an up-front repartition (the
-    _aug_docs discipline; a real crawl table's split count is
-    data-determined and wouldn't need it). The argmin is a groupBy
-    ``min`` over a FIXED-WIDTH STRING encoding ``fp || zeropad(1e9-1 -
-    pos)`` — lexicographic min == "min fp, then max pos" == rightmost-
-    minimum — instead of a row_number window or a ``min(struct(...))``:
-    both of those plan as a Sort (windows always; struct-min because
-    hash aggregation doesn't support struct buffers and falls back to
-    SortAggregate), while a string min is a HashAggregate whose partial
-    agg collapses the ×{WINNOW_W} rows map-side with no sort anywhere.
-    Positions are bounded by 10^9-1 words/doc (any real document is
-    orders of magnitude under this).
+    Scale: winnow selection is a strictly PER-DOCUMENT sequential scan,
+    so the whole query is ZERO-SHUFFLE map-side work — the fps array is
+    built per doc with transform(), each window's rightmost-minimum is an
+    aggregate() fold over {WINNOW_W} array slots (a left-to-right scan
+    keeping later ties, O(ng·W) comparisons, no allocation beyond the
+    arrays), duplicates collapse with array_distinct INSIDE the doc (a
+    fingerprint can only repeat within its own document — (doc, pos, fp)
+    is per-doc by construction), and the result explodes straight to
+    output rows. The round-4 shape instead exploded every gram into its
+    ≤{WINNOW_W} covering windows and paid a corpus-sized groupBy(doc,
+    window) exchange on 25-char string keys — measured 5.2→0.6 s (sha) /
+    5.7→0.5 s (xx) at sf0.1/local[32], byte-identical output. Per-row
+    state is bounded by a single document's own word count (the
+    collect_list reassembly bound used across the dedup family). The
+    fixture table is one parquet file → ~3 scan partitions, so the build
+    is fanned out by an up-front repartition (the _aug_docs discipline;
+    a real crawl table's split count is data-determined).
 
     ``hash_fn`` selects the gram hash: "sha" (default) is the
-    oracle-parity sha256 prefix, portable to DuckDB; "xx" is the
-    production path — xxhash64 is a JVM intrinsic (~20× cheaper per gram
-    than sha256's MessageDigest) rendered as 16 lowercase hex chars, so
-    lexicographic order == unsigned numeric order and every downstream
-    expression is hash-agnostic. Winnowing only needs a hash that acts
-    as a random order on grams; tests/test_plans.py proves both variants
-    select exactly the rightmost-minimum winnow of their hash sequence
-    and both honor the shared-run guarantee."""
+    oracle-parity sha256 prefix over the gram STRING, portable to DuckDB;
+    "xx" is the production path, and it never builds a gram string at
+    all — each word is xxhash64'd ONCE, and every gram fingerprint is a
+    variadic xxhash64 over its {WINNOW_K} word-hash longs (the
+    _shingle_sets idiom from plans/corpus.py). Rendered as 16 lowercase
+    hex chars so lexicographic order == unsigned numeric order and every
+    downstream expression is hash-agnostic. Winnowing only needs a hash
+    that acts as a random order on grams; tests/test_plans.py proves
+    both variants select exactly the rightmost-minimum winnow of their
+    hash sequence and both honor the shared-run guarantee."""
     docs = (tbl(spark, sf_dir, "documents")
             .select("doc_id", "text")
             .repartition(spark.sparkContext.defaultParallelism, "doc_id"))
     w = (docs.select("doc_id", F.split("text", " ").alias("w"))
          .filter(F.size("w") >= WINNOW_K + WINNOW_W - 1))
-    joined = ", ".join(f"element_at(w, i + {j + 1})"
-                       for j in range(WINNOW_K))
-    gr = w.select(
-        "doc_id",
-        F.expr(f"transform(sequence(0, size(w) - {WINNOW_K}),"
-               f" i -> concat_ws(' ', {joined}))").alias("grams"))
     if hash_fn == "sha":
-        fp_expr = F.substring(F.sha2("gram", 256), 1, 16)
+        joined = ", ".join(f"element_at(w, i + {j + 1})"
+                           for j in range(WINNOW_K))
+        fps = F.expr(
+            f"transform(sequence(0, size(w) - {WINNOW_K}), i -> "
+            f"substring(sha2(concat_ws(' ', {joined}), 256), 1, 16))")
+        d = w
     elif hash_fn == "xx":
-        fp_expr = F.lower(F.lpad(F.hex(F.xxhash64("gram")), 16, "0"))
+        whs = ", ".join(f"element_at(wh, i + {j + 1})"
+                        for j in range(WINNOW_K))
+        fps = F.expr(
+            f"transform(sequence(0, size(w) - {WINNOW_K}),"
+            f" i -> lower(lpad(hex(xxhash64({whs})), 16, '0')))")
+        d = w.withColumn("wh", F.expr("transform(w, x -> xxhash64(x))"))
     else:  # pragma: no cover - guarded misuse
         raise ValueError(f"hash_fn must be 'sha' or 'xx', got {hash_fn!r}")
-    g = (gr.select("doc_id", F.size("grams").alias("ng"),
-                   F.posexplode("grams").alias("pos", "gram"))
-         .select("doc_id", "ng", "pos", fp_expr.alias("fp")))
-    win = explode_ne(
-        g, ["doc_id", "pos", "fp"],
-        F.expr(f"sequence(greatest(0, pos - {WINNOW_W} + 1),"
-               f" least(pos, ng - {WINNOW_W}))"), "wn")
-    inv = F.lit(999_999_999) - F.col("pos")
-    enc = F.concat(F.col("fp"), F.lpad(inv.cast("string"), 9, "0"))
-    sel = win.groupBy("doc_id", "wn").agg(F.min(enc).alias("m"))
-    return (sel.select(
-        "doc_id",
-        (F.lit(999_999_999) - F.substring("m", 17, 9).cast("bigint"))
-        .cast("bigint").alias("pos"),
-        F.substring("m", 1, 16).alias("fp"))
-        .distinct())
+    # rightmost-minimum per sliding window: a fold keeping later ties
+    # (<=), so ties resolve to the RIGHTMOST position — Schleimer et
+    # al.'s rule. All array-domain; no explode until final output rows.
+    sel = F.expr(
+        f"array_distinct(transform(sequence(0, size(fps) - {WINNOW_W}),"
+        f" wn -> aggregate(sequence(wn + 1, wn + {WINNOW_W - 1}),"
+        f" struct(element_at(fps, wn + 1) AS m, wn AS p),"
+        f" (acc, i) -> IF(element_at(fps, i + 1) <= acc.m,"
+        f" struct(element_at(fps, i + 1) AS m, i AS p), acc))))")
+    return (d.select("doc_id", fps.alias("fps"))
+            .select("doc_id", F.explode(sel).alias("s"))
+            .select("doc_id", F.col("s.p").cast("bigint").alias("pos"),
+                    F.col("s.m").alias("fp")))
 
 
 @register("winnow_fingerprint_xx")  # rows-only: xxhash64 has no DuckDB twin
 def winnow_fingerprint_xx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production-hash winnowing: identical plan to winnow_fingerprint but
-    grams are hashed with the xxhash64 JVM intrinsic instead of the
-    sha256 the DuckDB oracle needs (dedup_q.py:12 — xxhash64 has no
-    DuckDB equivalent, so this entry is rows-only by construction; the
-    sha twin keeps the value-exact oracle). Fingerprint VALUES differ by
-    design — winnowing's guarantees are hash-agnostic, and the selection
-    logic is proven permutation-equivalent in tests/test_plans.py
-    (local-reference winnow equality for BOTH hash functions, plus the
-    shared-run guarantee on the xx path)."""
+    """Production-hash winnowing: same selection plan as
+    winnow_fingerprint, but fingerprints are variadic xxhash64 combines
+    of once-hashed word longs — NO gram string is ever materialized
+    (xxhash64 has no DuckDB equivalent, dedup_q.py:12, so this entry is
+    rows-only by construction; the sha twin keeps the value-exact
+    oracle). Fingerprint VALUES differ by design — winnowing's
+    guarantees are hash-agnostic, and the selection logic is proven
+    permutation-equivalent in tests/test_plans.py (local-reference
+    winnow equality for BOTH hash functions, plus the shared-run
+    guarantee on the xx path)."""
     return winnow_fingerprint(spark, sf_dir, hash_fn="xx")

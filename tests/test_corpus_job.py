@@ -369,11 +369,13 @@ def test_report_pieces_match_lineage(job, spark):
         STAGES, _read_stage_lineage, corpus, quarantine_all)
 
     out, stats = job
-    for stage in STAGES:
+    ran = list(stats["stages"])  # optional stages absent when disabled
+    for stage in ran:
         lin = _read_stage_lineage(out, stage)
         assert lin is not None
         assert lin["n_out"] == stats["stages"][stage]["n_out"], stage
-    n_quar = sum(stats["stages"][s]["n_quarantined"] for s in STAGES)
+    assert set(ran) == set(STAGES) - {"cut_spans"}
+    n_quar = sum(stats["stages"][s]["n_quarantined"] for s in ran)
     assert quarantine_all(spark, out).count() == n_quar
     n_final = stats["stages"]["split"]["n_out"]
     bd = (corpus(spark, out).groupBy("split", "lang").count().collect())
@@ -455,3 +457,83 @@ def test_lineage_format_mismatch_fails_fast(spark, tmp_path):
         _read_stage_lineage(out, "extract")
     with pytest.raises(RuntimeError, match="incompatible pipeline version"):
         run_corpus_prep(spark, out, pages=None, num_partitions=4)
+
+
+# --- optional ExactSubstr excision stage -------------------------------------
+
+def _span_pages(spark):
+    """Pages where two docs share one long span but are NOT near-dups:
+    distinct vocabularies except a 20-word shared run inside a larger
+    paragraph (3-gram Jaccard << JACCARD_T, paragraph text differs), so
+    nothing upstream of cut_spans may merge them."""
+    shared = " ".join(f"sharedrun{k}" for k in range(20))
+    def page(tag, body):
+        html = (f"<html><body><article><h2>span host {tag}</h2>"
+                f"<p>{body}</p></article></body></html>").encode()
+        return (f"https://span{tag}.example.com/a", TS, html, None, "en")
+    a_body = " ".join(f"avocab{k}" for k in range(60)) + " " + shared
+    b_body = " ".join(f"bvocab{k}" for k in range(60)) + " " + shared
+    c_body = " ".join(f"cvocab{k}" for k in range(80))
+    rows = [page("a", a_body), page("b", b_body), page("c", c_body)]
+    from pdf_extract_spark.sources.synth_pages import synth_pages
+    return synth_pages(spark, 40, partitions=4).unionByName(
+        spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, "
+                  "text string, lang string"))
+
+
+def test_cut_spans_stage_excises_shared_span_once(spark, tmp_path):
+    out = str(tmp_path / "cutjob")
+    stats = run_corpus_prep(spark, out, pages=_span_pages(spark),
+                            num_partitions=8, cut_spans=True)
+    assert stats["stages"]["cut_spans"]["status"] == "ran"
+    s = stats["stages"]["cut_spans"]
+    assert s["n_in"] == s["n_out"] + s["n_quarantined"]
+    final = {r["url"]: r["text"] for r in corpus(spark, out).collect()}
+    a = final.get("https://spana.example.com/a", "")
+    b = final.get("https://spanb.example.com/a", "")
+    # exactly ONE of the two keeps the shared run; the loser keeps its own
+    # vocabulary intact and loses exactly the span words
+    has_a, has_b = "sharedrun0" in a, "sharedrun0" in b
+    assert has_a != has_b, (a, b)
+    loser = b if has_a else a
+    assert "sharedrun" not in loser
+    assert all(f"{'b' if has_a else 'a'}vocab{k}" in loser
+               for k in range(60))
+    # the bystander doc is byte-identical through the stage
+    assert "https://spanc.example.com/a" in final
+    assert all(f"cvocab{k}" in final["https://spanc.example.com/a"]
+               for k in range(80))
+
+
+def test_cut_spans_kill_and_resume_identical(spark, tmp_path):
+    ref = str(tmp_path / "cutref")
+    run_corpus_prep(spark, ref, pages=_span_pages(spark),
+                    num_partitions=8, cut_spans=True)
+    out = str(tmp_path / "cutresume")
+    with pytest.raises(CorpusJobInterrupted):
+        run_corpus_prep(spark, out, pages=_span_pages(spark),
+                        num_partitions=8, cut_spans=True,
+                        fail_after="cut_spans")
+    assert not os.path.exists(
+        os.path.join(out, "lineage", "cut_spans.parquet"))
+    stats = run_corpus_prep(spark, out, pages=_span_pages(spark),
+                            num_partitions=8, cut_spans=True)
+    assert stats["stages"]["dedup_doc"]["status"] == "skipped"
+    assert stats["stages"]["cut_spans"]["status"] == "ran"
+    assert job_digest(out) == job_digest(ref)
+
+
+def test_cut_spans_flag_mismatch_guards(spark, tmp_path):
+    out = str(tmp_path / "cutflag")
+    run_corpus_prep(spark, out, pages=_span_pages(spark),
+                    num_partitions=8, cut_spans=True)
+    with pytest.raises(RuntimeError, match="cut_spans=False"):
+        run_corpus_prep(spark, out, pages=_span_pages(spark),
+                        num_partitions=8)
+    out2 = str(tmp_path / "nocutflag")
+    run_corpus_prep(spark, out2, pages=_span_pages(spark),
+                    num_partitions=8)
+    with pytest.raises(RuntimeError, match="WITHOUT the cut_spans"):
+        run_corpus_prep(spark, out2, pages=_span_pages(spark),
+                        num_partitions=8, cut_spans=True)

@@ -78,6 +78,9 @@ SMOKE = [
     "bpe_encode",
     "kmeans_embed",
     "extract_markdown",
+    # round-5: ExactSubstr excision (the removal pass; Lee et al. §4.1)
+    "dedup_substring_cut",
+    "dedup_substring_cut_xx",
 ]
 
 

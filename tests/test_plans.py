@@ -425,6 +425,52 @@ def test_dedup_substring_flags_planted_copies(spark):
     assert any(r["dup_frac"] < 1.0 for r in rows)
 
 
+def test_dedup_substring_cut_excises_planted_and_preserves_firsts(spark):
+    """ExactSubstr removal semantics: each planted copy (doc_id >= 1M,
+    first word dropped) is a strict suffix of its original, so EVERY gram
+    occurrence in the copy loses the first-occurrence race to the
+    original (smaller doc_id) — the copy excises to the empty string.
+    The lowest-id original can never lose a race it participates in at
+    position parity, and untouched docs come back byte-identical."""
+    from pdf_extract_spark.queries import load_all, tbl
+    from pdf_extract_spark.queries.pipeline_q import SUBSTR_N
+
+    rows = {r["doc_id"]: r
+            for r in load_all()["dedup_substring_cut"].fn(spark, SF)
+            .collect()}
+    planted = {d: r for d, r in rows.items() if d >= 1_000_000}
+    assert planted, "augmentation produced no planted docs"
+    for d, r in planted.items():
+        if r["n_words"] >= SUBSTR_N:
+            assert r["n_cut"] == r["n_words"], d
+            assert r["clean_text"] == "", d
+    # word-count conservation on every doc: survivors = n_words - n_cut
+    for d, r in rows.items():
+        n_kept = len(r["clean_text"].split(" ")) if r["clean_text"] else 0
+        assert n_kept == r["n_words"] - r["n_cut"], d
+    # untouched docs are byte-identical to their input text
+    texts = {r["doc_id"]: r["text"]
+             for r in tbl(spark, SF, "documents")
+             .select("doc_id", "text").collect()}
+    untouched = [d for d, r in rows.items() if r["n_cut"] == 0
+                 and d < 1_000_000]
+    assert untouched, "every doc was cut — fixture should have clean docs"
+    for d in untouched:
+        assert rows[d]["clean_text"] == texts[d], d
+
+
+def test_dedup_substring_cut_plan_is_linear(spark):
+    """The excision plan must stay pair-expansion-free: equi-joins only
+    (gram postings + doc reassembly), no cartesian/nested-loop join, no
+    corpus-wide window."""
+    from pdf_extract_spark.queries.pipeline_q import dedup_substring_cut
+
+    plan = _plan(dedup_substring_cut(spark, SF, materialize=False))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+
+
 def test_range_search_broadcasts_and_has_no_window(spark):
     """Radius search streams the corpus with a broadcast query side and —
     unlike top-k — needs no window operator at all."""
@@ -736,14 +782,43 @@ def test_winnow_selection_matches_local_reference(spark, hash_fn):
             fps = [hashlib.sha256(g.encode()).hexdigest()[:16]
                    for g in grams]
         else:
-            rows = (spark.createDataFrame(
-                list(enumerate(grams)), "i long, gram string")
-                .select("i", F.lower(F.lpad(
-                    F.hex(F.xxhash64("gram")), 16, "0")).alias("fp"))
+            # mirror the production combine: hash each WORD once, then
+            # one variadic xxhash64 per gram over the word-hash longs
+            # (xxhash64 is JVM-only, so computed through Spark — this
+            # leg checks SELECTION permutation-equivalence, the sha leg
+            # cross-checks the hashes themselves against CPython)
+            wrows = (spark.createDataFrame(
+                list(enumerate(words)), "i long, w string")
+                .select("i", F.xxhash64("w").alias("h")).collect())
+            whs = [r["h"] for r in sorted(wrows, key=lambda r: r["i"])]
+            gram_h = [tuple(whs[i:i + WINNOW_K])
+                      for i in range(len(words) - WINNOW_K + 1)]
+            hrows = (spark.createDataFrame(
+                [(i,) + g for i, g in enumerate(gram_h)],
+                "i long, " + ", ".join(
+                    f"h{j} long" for j in range(WINNOW_K)))
+                .select("i", F.lower(F.lpad(F.hex(F.xxhash64(
+                    *[f"h{j}" for j in range(WINNOW_K)])), 16, "0"))
+                    .alias("fp"))
                 .collect())
-            fps = [r["fp"] for r in sorted(rows, key=lambda r: r["i"])]
+            fps = [r["fp"] for r in sorted(hrows, key=lambda r: r["i"])]
         expect = _local_winnow(fps, WINNOW_W)
         assert got.get(doc_id, set()) == expect, (doc_id, hash_fn)
+
+
+@pytest.mark.parametrize("name", ["winnow_fingerprint",
+                                  "winnow_fingerprint_xx"])
+def test_winnow_plan_is_map_side_only(spark, name):
+    """Winnow selection is per-document sequential, so the plan must be
+    pure map-side array work: no aggregation, no window, no sort — the
+    only exchange is the explicit scan-fanout repartition."""
+    from pdf_extract_spark.queries import load_all
+
+    plan = _plan(load_all()[name].fn(spark, SF))
+    assert "HashAggregate" not in plan
+    assert "SortAggregate" not in plan
+    assert "Window" not in plan
+    assert "Sort" not in plan
 
 
 def test_winnow_xx_shared_run_guarantee_and_no_sha(spark):
@@ -772,7 +847,8 @@ def test_winnow_xx_shared_run_guarantee_and_no_sha(spark):
     assert by_doc[1] & by_doc[2], f"no shared fingerprint: {by_doc}"
 
 
-@pytest.mark.parametrize("name", ["dedup_paragraph", "dedup_substring"])
+@pytest.mark.parametrize("name", ["dedup_paragraph", "dedup_substring",
+                                  "dedup_substring_cut"])
 def test_hash_fast_path_output_invariant(spark, name):
     """dedup_paragraph_xx / dedup_substring_xx key their shuffles by
     double-xxhash64 instead of sha256/raw text, but the key is internal:
