@@ -15,8 +15,10 @@ this is the corpus-scale equivalent over Common-Crawl-style pages):
     pack         fixed-budget sequence packing of the train split
 
 Stage-granular commit protocol (same discipline as plans/pipeline.py, at
-stage rather than run granularity): each stage writes its output tables
-under ``<out>/stages/<name>/`` and is COMMITTED only when its lineage row
+stage rather than run granularity): each stage writes its output in ONE
+dynamically-partitioned pass under ``<out>/stages/<name>/data/st={ok,
+err}`` (survivors / quarantine — a single write action, so the stage
+plan executes exactly once) and is COMMITTED only when its lineage row
 set — counts + order-insensitive digest — appears at
 ``<out>/lineage/<name>.parquet`` via an atomic rename. On (re)start, any
 stage directory without its lineage file is a crashed partial write and
@@ -779,8 +781,19 @@ def _empty_quarantine(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], QUAR_SCHEMA)
 
 
+# On-disk stage layout (LINEAGE_FMT 2): ONE dynamically-partitioned write
+# per stage under <stage>/data/st={ok,err} — surviving docs are the ok
+# partition, quarantine rows the err partition. The previous layout
+# (<stage>/{docs,quarantine}) wrote the two legs as two separate ACTIONS,
+# so every stage recomputed its full plan twice (the extract decode, the
+# clean regex passes, the classify fit+predict all ran 2x per job).
+
+def _stage_docs_dir(out_dir: str, stage: str) -> str:
+    return os.path.join(_stage_dir(out_dir, stage), "data", "st=ok")
+
+
 def _quarantine_dir(out_dir: str, stage: str) -> str:
-    return os.path.join(_stage_dir(out_dir, stage), "quarantine")
+    return os.path.join(_stage_dir(out_dir, stage), "data", "st=err")
 
 
 def run_corpus_prep(
@@ -844,24 +857,39 @@ def run_corpus_prep(
         stats["stages"][stage]["wall_s"] = round(now - t_stage[0], 3)
         t_stage[0] = now
 
-    def _commit_docs_stage(stage: str, docs_out: DataFrame,
-                           quar: DataFrame,
+    def _commit_docs_stage(stage: str, staged: DataFrame,
                            n_in: int | None) -> tuple[DataFrame, int]:
-        """Write docs+quarantine, then publish lineage (the commit).
-        Returns the READ-BACK docs (downstream stages consume the
-        committed table, decoupling their plans from this stage's).
-        ``n_in=None`` derives the input count as n_out + n_quarantined
-        (the extract stage, whose input would otherwise need a second
-        full scan of the pages table just to count it)."""
-        sdir = _stage_dir(out_dir, stage)
-        docs_dir = os.path.join(sdir, "docs")
-        docs_out.write.mode("overwrite").parquet(docs_dir)
-        quar.write.mode("overwrite").parquet(_quarantine_dir(out_dir, stage))
+        """ONE-PASS stage commit: ``staged`` carries the stage's doc
+        columns plus a nullable ``error`` column (null = survivor), and
+        is written ONCE, dynamically partitioned on st=ok|err — so the
+        stage plan executes exactly once per job (previously ok and
+        quarantine were two separate write actions and every stage
+        recomputed its full plan twice). The task-local sort the dynamic
+        writer inserts is over a 2-value column — noise next to a second
+        full compute of the stage. Publishes lineage after the write
+        (the commit) and returns the READ-BACK ok docs (downstream
+        stages consume the committed table, decoupling their plans from
+        this stage's). ``n_in=None`` derives the input count as
+        n_out + n_quarantined (the extract stage, whose input would
+        otherwise need a second full scan of the pages table just to
+        count it)."""
+        data_dir = os.path.join(_stage_dir(out_dir, stage), "data")
+        (staged.withColumn("st", F.when(F.col("error").isNull(),
+                                        F.lit("ok")).otherwise(F.lit("err")))
+         .write.mode("overwrite").partitionBy("st").parquet(data_dir))
+        docs_dir = _stage_docs_dir(out_dir, stage)
+        if not os.path.isdir(docs_dir):
+            # every row quarantined: the ok partition was never created —
+            # materialize an empty-but-schema'd table (folds to an empty
+            # LocalRelation, no recompute) so downstream reads stay typed
+            (staged.drop("error").filter(F.lit(False))
+             .write.mode("overwrite").parquet(docs_dir))
         if fail_after == stage:
             raise CorpusJobInterrupted(stage)
-        n_quar = (spark.read.schema(QUAR_SCHEMA)
-                  .parquet(_quarantine_dir(out_dir, stage)).count())
-        committed = spark.read.parquet(docs_dir)
+        qdir = _quarantine_dir(out_dir, stage)
+        n_quar = (spark.read.parquet(qdir).count()
+                  if os.path.isdir(qdir) else 0)
+        committed = spark.read.parquet(docs_dir).drop("error")
         n_out, digest = _docs_count_digest(spark, docs_dir)
         if n_in is None:
             n_in = n_out + n_quar
@@ -878,8 +906,8 @@ def run_corpus_prep(
                                       "digest")},
                                   "status": "skipped"}
         _stamp(stage)
-        docs_dir = os.path.join(_stage_dir(out_dir, stage), "docs")
-        return spark.read.parquet(docs_dir), lin["n_out"]
+        docs_dir = _stage_docs_dir(out_dir, stage)
+        return spark.read.parquet(docs_dir).drop("error"), lin["n_out"]
 
     # --- extract ---
     lin = _read_stage_lineage(out_dir, "extract")
@@ -889,66 +917,54 @@ def run_corpus_prep(
         if pages is None:
             raise ValueError("extract stage uncommitted and pages=None")
         ext = extract_text(pages, num_partitions=num_partitions)
-        ok = (ext.filter(F.col("error").isNull())
-              .select("url", "warc_ts", "lang", "doc_kind", "text",
-                      F.col("text_sha256").alias("text_sha")))
-        quar = (ext.filter(F.col("error").isNotNull())
-                .select("url", F.lit("extract").alias("stage"), "error"))
-        prev_docs, prev_n = _commit_docs_stage("extract", ok, quar,
-                                               n_in=None)
+        staged = ext.select("url", "warc_ts", "lang", "doc_kind", "text",
+                            F.col("text_sha256").alias("text_sha"), "error")
+        prev_docs, prev_n = _commit_docs_stage("extract", staged, n_in=None)
 
     # --- clean ---
     lin = _read_stage_lineage(out_dir, "clean")
     if lin is not None:
         prev_docs, prev_n = _skip("clean", lin)
     else:
-        cleaned = clean_docs(prev_docs)
-        ok = cleaned.filter(F.length(F.col("text")) > 0)
-        quar = (cleaned.filter(F.length(F.col("text")) == 0)
-                .select("url", F.lit("clean").alias("stage"),
-                        F.lit("empty_after_normalize").alias("error")))
-        prev_docs, prev_n = _commit_docs_stage("clean", ok, quar, prev_n)
+        staged = clean_docs(prev_docs).withColumn(
+            "error", F.when(F.length("text") == 0,
+                            F.lit("empty_after_normalize")))
+        prev_docs, prev_n = _commit_docs_stage("clean", staged, prev_n)
 
     # --- gate ---
     lin = _read_stage_lineage(out_dir, "gate")
     if lin is not None:
         prev_docs, prev_n = _skip("gate", lin)
     else:
-        gated = gate_docs(prev_docs)
-        ok = (gated.filter(F.col("keep"))
-              .select("url", "warc_ts", "lang", "doc_kind", "text",
-                      "text_sha", "n_words", "domain"))
-        quar = (gated.filter(~F.col("keep"))
-                .select("url", F.lit("gate").alias("stage"),
-                        F.col("reject_reason").alias("error")))
-        prev_docs, prev_n = _commit_docs_stage("gate", ok, quar, prev_n)
+        staged = (gate_docs(prev_docs)
+                  .select("url", "warc_ts", "lang", "doc_kind", "text",
+                          "text_sha", "n_words", "domain",
+                          F.col("reject_reason").alias("error")))
+        prev_docs, prev_n = _commit_docs_stage("gate", staged, prev_n)
 
     # --- classify (declared-vs-predicted language gate) ---
     lin = _read_stage_lineage(out_dir, "classify")
     if lin is not None:
         prev_docs, prev_n = _skip("classify", lin)
     else:
-        classified = classify_docs(prev_docs)
-        ok = (classified.filter(F.col("keep"))
-              .select("url", "warc_ts", "lang", "text", "text_sha",
-                      "n_words", "domain"))
-        quar = (classified.filter(~F.col("keep"))
-                .select("url", F.lit("classify").alias("stage"),
-                        F.concat(F.lit("lang_mismatch:"),
-                                 F.col("pred_lang")).alias("error")))
-        prev_docs, prev_n = _commit_docs_stage("classify", ok, quar, prev_n)
+        staged = (classify_docs(prev_docs)
+                  .select("url", "warc_ts", "lang", "text", "text_sha",
+                          "n_words", "domain",
+                          F.when(~F.col("keep"),
+                                 F.concat(F.lit("lang_mismatch:"),
+                                          F.col("pred_lang")))
+                          .alias("error")))
+        prev_docs, prev_n = _commit_docs_stage("classify", staged, prev_n)
 
     # --- dedup_para ---
     lin = _read_stage_lineage(out_dir, "dedup_para")
     if lin is not None:
         prev_docs, prev_n = _skip("dedup_para", lin)
     else:
-        rebuilt = dedup_paragraphs(prev_docs)
-        ok = rebuilt.filter(F.col("n_kept") > 0)
-        quar = (rebuilt.filter(F.col("n_kept") == 0)
-                .select("url", F.lit("dedup_para").alias("stage"),
-                        F.lit("all_paragraphs_duplicate").alias("error")))
-        prev_docs, prev_n = _commit_docs_stage("dedup_para", ok, quar, prev_n)
+        staged = dedup_paragraphs(prev_docs).withColumn(
+            "error", F.when(F.col("n_kept") == 0,
+                            F.lit("all_paragraphs_duplicate")))
+        prev_docs, prev_n = _commit_docs_stage("dedup_para", staged, prev_n)
 
     # --- dedup_doc ---
     lin = _read_stage_lineage(out_dir, "dedup_doc")
@@ -956,10 +972,10 @@ def run_corpus_prep(
         prev_docs, prev_n = _skip("dedup_doc", lin)
     else:
         kept, dropped, cached = dedup_documents(prev_docs)
-        quar = dropped.select("url", F.lit("dedup_doc").alias("stage"),
-                              "error")
+        staged = (kept.withColumn("error", F.lit(None).cast("string"))
+                  .unionByName(dropped, allowMissingColumns=True))
         try:
-            prev_docs, prev_n = _commit_docs_stage("dedup_doc", kept, quar,
+            prev_docs, prev_n = _commit_docs_stage("dedup_doc", staged,
                                                    prev_n)
         finally:
             # also on the fail_after crash-injection path / write errors:
@@ -973,12 +989,10 @@ def run_corpus_prep(
         if lin is not None:
             prev_docs, prev_n = _skip("cut_spans", lin)
         else:
-            cut = cut_dup_spans(prev_docs)
-            ok = cut.filter(F.length("text") > 0)
-            quar = (cut.filter(F.length("text") == 0)
-                    .select("url", F.lit("cut_spans").alias("stage"),
-                            F.lit("all_text_duplicate").alias("error")))
-            prev_docs, prev_n = _commit_docs_stage("cut_spans", ok, quar,
+            staged = cut_dup_spans(prev_docs).withColumn(
+                "error", F.when(F.length("text") == 0,
+                                F.lit("all_text_duplicate")))
+            prev_docs, prev_n = _commit_docs_stage("cut_spans", staged,
                                                    prev_n)
 
     # --- split ---
@@ -986,8 +1000,9 @@ def run_corpus_prep(
     if lin is not None:
         prev_docs, prev_n = _skip("split", lin)
     else:
-        prev_docs, prev_n = _commit_docs_stage(
-            "split", split_docs(prev_docs), _empty_quarantine(spark), prev_n)
+        staged = split_docs(prev_docs).withColumn(
+            "error", F.lit(None).cast("string"))
+        prev_docs, prev_n = _commit_docs_stage("split", staged, prev_n)
 
     # --- pack (aux output table: sequences, not docs) ---
     lin = _read_stage_lineage(out_dir, "pack")
@@ -1026,8 +1041,8 @@ def run_corpus_prep(
 def corpus(spark: SparkSession, out_dir: str) -> DataFrame:
     """The final document table (split-stage output: url, warc_ts, lang,
     text, text_sha, split, contam_frac)."""
-    return spark.read.parquet(
-        os.path.join(_stage_dir(out_dir, "split"), "docs"))
+    return (spark.read.parquet(_stage_docs_dir(out_dir, "split"))
+            .drop("error"))
 
 
 def sequences(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -1053,8 +1068,12 @@ def quarantine_all(spark: SparkSession, out_dir: str,
             continue
         qdir = _quarantine_dir(out_dir, stage)
         if os.path.isdir(qdir):
+            # err-partition files carry the stage's full doc columns;
+            # project down to the audit row and stamp the stage name
+            # (it is the partition value, not a file column)
             out = out.unionByName(
-                spark.read.schema(QUAR_SCHEMA).parquet(qdir))
+                spark.read.parquet(qdir)
+                .select("url", F.lit(stage).alias("stage"), "error"))
     return out
 
 

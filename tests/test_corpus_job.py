@@ -392,7 +392,8 @@ def test_partial_run_taxonomy_reads_only_committed_stages(spark, tmp_path):
         run_corpus_prep(spark, out, pages=_pages(spark),
                         num_partitions=16, fail_after="gate")
     # the crashed stage's quarantine data is on disk, marker missing
-    assert os.path.isdir(os.path.join(out, "stages", "gate", "quarantine"))
+    assert os.path.isdir(os.path.join(out, "stages", "gate", "data",
+                                      "st=err"))
     assert not os.path.exists(os.path.join(out, "lineage", "gate.parquet"))
     committed = quarantine_all(spark, out, committed_only=True)
     stages_seen = {r["stage"] for r in committed.collect()}
