@@ -359,31 +359,52 @@ def dedup_paragraphs(docs: DataFrame) -> DataFrame:
     DISTINCT paragraphs are birthday-impossible at 10^12 paragraphs; the
     argmin is a fixed-width-string MIN (hash-aggregates with map-side
     partials — a banner in 10^6 docs ships one partial per task).
-    3 bounded shuffles total; collect_list state is bounded by one
-    document's own length."""
+
+    Shuffle-volume shape (round-5 rewrite; the wide-leg bandwidth was the
+    measured fused-job scaling bottleneck): paragraph TEXT crosses the
+    wire exactly ONCE — the occurrence stream ships only fixed-width
+    metadata (url, pos, two hash longs, enc key) through the argmin
+    groupBy and the postings join; only LOSER positions (duplicated
+    paragraphs beyond their first occurrence — the minority by
+    construction) flow into the per-doc cut set; and each document is
+    reassembled from its OWN paras array with a HOF filter after one
+    url equi-join of the doc table to its cut set. The previous shape
+    shipped every paragraph's text through BOTH the postings join and a
+    corpus-wide collect_list reassembly (two text-sized exchanges + a
+    third docs-side join exchange). Per-row state stays bounded by a
+    single document's own paragraph count."""
     w = docs.select(
-        "url", "warc_ts", "lang", "text_sha",
+        "url", "warc_ts", "lang",
         F.split("text", "\n\n").alias("paras"),
         _doc_key().alias("doc_key"))
-    ex = (w.select("url", F.posexplode_outer("paras").alias("pos", "para"),
-                   "doc_key")
+    ex = (w.select("url", "doc_key",
+                   F.posexplode_outer("paras").alias("pos", "para"))
           .filter(F.col("para").isNotNull())
-          .withColumn("h1", F.xxhash64("para"))
-          .withColumn("h2", F.xxhash64(F.lit(1), "para"))
-          .withColumn("enc", F.concat(
-              "doc_key", F.lpad(F.col("pos").cast("string"), 9, "0"))))
+          .select("url",
+                  F.xxhash64("para").alias("h1"),
+                  F.xxhash64(F.lit(1), "para").alias("h2"),
+                  "pos",
+                  F.concat("doc_key",
+                           F.lpad(F.col("pos").cast("string"), 9, "0"))
+                  .alias("enc")))
     firsts = ex.groupBy("h1", "h2").agg(F.min("enc").alias("f_enc"))
-    sel = (ex.join(firsts, ["h1", "h2"])
-           .withColumn("keep", F.col("enc") == F.col("f_enc")))
-    rebuilt = sel.groupBy("url").agg(
-        F.count("*").cast("bigint").alias("n_paras"),
-        F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_kept"),
-        F.concat_ws("\n\n", F.transform(
-            F.array_sort(F.collect_list(
-                F.when(F.col("keep"), F.struct("pos", "para")))),
-            lambda s: s.para)).alias("text"))
-    return (docs.select("url", "warc_ts", "lang")
-            .join(rebuilt, "url")
+    cutpos = (ex.join(firsts, ["h1", "h2"])
+              .filter(F.col("enc") != F.col("f_enc"))
+              .select("url", "pos"))
+    percut = (cutpos.groupBy("url")
+              .agg(F.collect_set("pos").alias("cuts")))
+    return (w.join(percut, "url", "left")
+            .select(
+                "url", "warc_ts", "lang",
+                F.size("paras").cast("bigint").alias("n_paras"),
+                (F.size("paras") - F.coalesce(F.size("cuts"), F.lit(0)))
+                .cast("bigint").alias("n_kept"),
+                F.when(F.col("cuts").isNull(),
+                       F.concat_ws("\n\n", F.col("paras")))
+                .otherwise(F.concat_ws("\n\n", F.filter(
+                    "paras",
+                    lambda x, i: ~F.array_contains(F.col("cuts"), i))))
+                .alias("text"))
             .withColumn("text_sha", F.sha2("text", 256)))
 
 

@@ -767,37 +767,49 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str,
             .repartition(spark.sparkContext.defaultParallelism, "doc_id"))
     w = docs.select("doc_id",
                     F.split(F.expr(_SPARK_PARA_RAW), " ").alias("w"))
-    paras = F.expr(
-        f"transform(sequence(0, CAST(ceil(size(w) / {PARA_W}.0) AS INT) - 1),"
-        f" i -> struct(i AS pos,"
-        f" concat_ws(' ', slice(w, i * {PARA_W} + 1, {PARA_W})) AS para))")
-    ex = (explode_ne(w, ["doc_id"], paras, "u")
-          .select("doc_id", F.col("u.pos").alias("pos"),
-                  F.col("u.para").alias("para"))
+    p = w.select("doc_id", F.expr(
+        f"transform(sequence(0, CAST(ceil(size(w) / {PARA_W}.0) AS INT)"
+        f" - 1), i -> concat_ws(' ', slice(w, i * {PARA_W} + 1,"
+        f" {PARA_W})))").alias("paras"))
+    # Paragraph TEXT never crosses an exchange (the plans/corpus.py
+    # dedup_paragraphs shape): the occurrence stream is fixed-width
+    # metadata only, loser positions flow back as a per-doc cut set, and
+    # each doc reassembles from its OWN paras array via a HOF filter.
+    ex = (p.select("doc_id", F.posexplode("paras").alias("pos", "para"))
           # xx path: lpad keeps each half fixed-width 16 so the concat is
           # an unambiguous 128-bit key (hex() drops leading zeros)
-          .withColumn("h", F.sha2("para", 256) if hash_fn == "sha"
-                      else F.concat(
-                          F.lpad(F.hex(F.xxhash64("para")), 16, "0"),
-                          F.lpad(F.hex(F.xxhash64(F.lit(1), "para")),
-                                 16, "0")))
-          # fixed-width string encoding of (doc_id, pos): lexicographic
-          # min == numeric-tuple min, and a STRING min hash-aggregates
-          # with map-side partials (min over a struct falls back to
-          # SortAggregate — hash agg has no struct buffers)
-          .withColumn("enc", F.concat(
-              F.lpad(F.col("doc_id").cast("string"), 19, "0"),
-              F.lpad(F.col("pos").cast("string"), 9, "0"))))
+          .select("doc_id", "pos",
+                  (F.sha2("para", 256) if hash_fn == "sha"
+                   else F.concat(
+                       F.lpad(F.hex(F.xxhash64("para")), 16, "0"),
+                       F.lpad(F.hex(F.xxhash64(F.lit(1), "para")),
+                              16, "0"))).alias("h"),
+                  # fixed-width string encoding of (doc_id, pos):
+                  # lexicographic min == numeric-tuple min, and a STRING
+                  # min hash-aggregates with map-side partials (min over
+                  # a struct falls back to SortAggregate — hash agg has
+                  # no struct buffers)
+                  F.concat(
+                      F.lpad(F.col("doc_id").cast("string"), 19, "0"),
+                      F.lpad(F.col("pos").cast("string"), 9, "0"))
+                  .alias("enc")))
     firsts = ex.groupBy("h").agg(F.min("enc").alias("f_enc"))
-    sel = (ex.join(firsts, "h")
-           .withColumn("keep", F.col("enc") == F.col("f_enc")))
-    return (sel.groupBy("doc_id").agg(
-        F.count("*").alias("n_paras"),
-        F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_kept"),
-        F.concat_ws(" ", F.transform(
-            F.array_sort(F.collect_list(
-                F.when(F.col("keep"), F.struct("pos", "para")))),
-            lambda x: x.para)).alias("clean_text")))
+    percut = (ex.join(firsts, "h")
+              .filter(F.col("enc") != F.col("f_enc"))
+              .groupBy("doc_id")
+              .agg(F.collect_set("pos").alias("cuts")))
+    return (p.join(percut, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.size("paras").cast("bigint").alias("n_paras"),
+                (F.size("paras") - F.coalesce(F.size("cuts"), F.lit(0)))
+                .cast("bigint").alias("n_kept"),
+                F.when(F.col("cuts").isNull(),
+                       F.concat_ws(" ", F.col("paras")))
+                .otherwise(F.concat_ws(" ", F.filter(
+                    "paras",
+                    lambda x, i: ~F.array_contains(F.col("cuts"), i))))
+                .alias("clean_text")))
 
 
 @register("dedup_paragraph_xx", oracle=_PARA_ORACLE_SQL)
