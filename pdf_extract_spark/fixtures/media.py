@@ -1,5 +1,5 @@
 """Deterministic writers for the real media containers the multimodal
-decoder parses (operators/multimodal.py): BMP, PPM, WAV, Y4M. Same
+decoder parses (operators/multimodal.py): BMP, PPM, WAV, Y4M, PNG. Same
 bounded-scope pattern as fixtures/pdf_writer.py — the writers emit
 spec-conformant files from the published public formats, the decoder
 handles the full header grammar, and tests feed it both these outputs
@@ -10,6 +10,7 @@ seed so every kernel stays partition-invariant.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -61,6 +62,90 @@ def make_wav(sample_rate: int, n_frames: int, seed: int = 0,
     body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(data)) + data)
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+
+def _png_filter_rows(px: np.ndarray, ch: int,
+                     filters: list[int]) -> bytes:
+    """Apply the spec §9 scanline filters for encoding. Unlike decoding,
+    every predictor reads TRUE neighbor values, so all five filters
+    vectorize whole-row."""
+    height, rowlen = px.shape
+    width = rowlen // ch
+    out = []
+    prev = np.zeros(rowlen, np.int32)
+    for y in range(height):
+        cur = px[y].astype(np.int32)
+        left = np.zeros(rowlen, np.int32)
+        left[ch:] = cur[:-ch]
+        upleft = np.zeros(rowlen, np.int32)
+        upleft[ch:] = prev[:-ch]
+        f = filters[y % len(filters)]
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = cur - ((left + prev) >> 1)
+        else:
+            pa = np.abs(prev - upleft)
+            pb = np.abs(left - upleft)
+            pc = np.abs(left + prev - 2 * upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            enc = cur - pred
+        out.append(bytes([f]) + (enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    return b"".join(out)
+
+
+def make_png(width: int, height: int, seed: int = 0, color_type: int = 2,
+             filters: tuple[int, ...] = (0, 1, 2, 3, 4),
+             interlace: int = 0, level: int = 6,
+             value: int | None = None) -> bytes:
+    """Non-interlaced 8-bit PNG (color types 0/2/3/4/6), real zlib IDAT.
+    `filters` cycles per scanline so decoders must handle every filter
+    type; palette images (type 3) get a 16-entry PLTE and indices
+    bounded to it. `interlace` is written into IHDR verbatim so tests
+    can emit the unsupported Adam7 flag. `value` makes every sample that
+    one byte (the filtered STREAM still varies by filter type) so an
+    oracle can state the decoded content arithmetically — any unfilter
+    defect scrambles it."""
+    ch = _PNG_CHANNELS[color_type]
+    px = (np.full(height * width * ch, value, np.uint8)
+          if value is not None
+          else _pattern(height * width * ch, seed)).reshape(
+              height, width * ch)
+    chunks = [_png_chunk(b"IHDR", struct.pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0, interlace))]
+    if color_type == 3:
+        px = (px % 16).astype(np.uint8)  # indices into the palette
+        chunks.append(_png_chunk(b"PLTE", _pattern(48, seed + 7).tobytes()))
+    raw = _png_filter_rows(px, ch, list(filters))
+    chunks.append(_png_chunk(b"IDAT", zlib.compress(raw, level)))
+    chunks.append(_png_chunk(b"IEND", b""))
+    return b"\x89PNG\r\n\x1a\n" + b"".join(chunks)
+
+
+def png_expected_samples(width: int, height: int, seed: int = 0,
+                         color_type: int = 2) -> np.ndarray:
+    """The sample bytes make_png encodes, as the decoder must emit them
+    (palette indices expanded through PLTE) — the round-trip ground truth."""
+    ch = _PNG_CHANNELS[color_type]
+    px = _pattern(height * width * ch, seed)
+    if color_type == 3:
+        pal = _pattern(48, seed + 7).reshape(16, 3)
+        return pal[(px % 16).astype(np.int64)].reshape(-1)
+    return px
 
 
 def make_y4m(width: int, height: int, n_frames: int, seed: int = 0,

@@ -12,12 +12,16 @@ pure numpy from their published specs (no codec libraries in the sandbox):
 - WAV  (RIFF/WAVE, integer PCM, 8/16-bit)
 - Y4M  (YUV4MPEG2 uncompressed video — real per-frame boundaries)
 
+- PNG  (ISO/IEC 15948 — the first COMPRESSED format: zlib inflate of the
+       IDAT stream + per-scanline unfilter in numpy; bit depth 8, color
+       types 0/2/3/4/6, non-interlaced; chunk CRCs validated)
+
 plus the legacy deterministic `MMK1` container (kept because the
 driver-gated media queries construct it arithmetically in SQL, and as the
-stand-in for compressed codecs the sandbox cannot ship). Compressed
-formats (PNG/JPEG/MP3/H.264) quarantine as `unknown_container` — the
-dispatch point a real deployment extends. Fixture writers for each real
-format live in fixtures/media.py (bounded-scope pattern of
+stand-in for the codecs the sandbox cannot decode in pure stdlib). Other
+compressed formats (JPEG/MP3/H.264) quarantine as `unknown_container` —
+the dispatch point a real deployment extends. Fixture writers for each
+real format live in fixtures/media.py (bounded-scope pattern of
 kernels/pdf_extract.py: the decoder handles the full public header
 grammar, tests feed it both our writers' output and corrupt variants).
 """
@@ -25,6 +29,7 @@ grammar, tests feed it both our writers' output and corrupt variants).
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -229,6 +234,142 @@ def _decode_y4m(p: bytes) -> tuple[dict | None, str | None]:
             "frame_bounds": bounds}, None
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per pixel by color type (bit depth 8): gray, RGB, palette
+# index, gray+alpha, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, width: int, height: int,
+                  ch: int) -> np.ndarray | None:
+    """Reverse the PNG scanline filters (spec §9): each of the `height`
+    scanlines is 1 filter byte + width*ch sample bytes. Filters None/Sub/
+    Up are fully vectorized (Sub is a per-channel-lane cumsum mod 256);
+    Average/Paeth carry a true left-to-right data dependency, so they run
+    one numpy op per PIXEL over the ch lanes — still no per-byte Python.
+    Returns (height, width*ch) uint8, or None if a filter byte is invalid."""
+    rowlen = width * ch
+    arr = np.frombuffer(raw, np.uint8).reshape(height, rowlen + 1)
+    filters = arr[:, 0]
+    if (filters > 4).any():
+        return None
+    out = np.empty((height, rowlen), np.uint8)
+    prev = np.zeros(rowlen, np.uint16)
+    for y in range(height):
+        f = filters[y]
+        cur = arr[y, 1:].astype(np.uint16)
+        if f == 0:
+            row = cur
+        elif f == 1:  # Sub: prefix sum per channel lane, mod 256
+            row = (np.cumsum(cur.reshape(width, ch), axis=0,
+                             dtype=np.uint64) & 0xFF).reshape(rowlen)
+        elif f == 2:  # Up
+            row = (cur + prev) & 0xFF
+        else:
+            row = np.empty(rowlen, np.uint16)
+            left = np.zeros(ch, np.uint16)
+            if f == 3:  # Average
+                for x in range(width):
+                    s = slice(x * ch, (x + 1) * ch)
+                    left = (cur[s] + ((left + prev[s]) >> 1)) & 0xFF
+                    row[s] = left
+            else:  # Paeth
+                upleft = np.zeros(ch, np.uint16)
+                for x in range(width):
+                    s = slice(x * ch, (x + 1) * ch)
+                    up = prev[s]
+                    # Paeth predictor: p = left + up - upleft, pick the
+                    # neighbor nearest p (ties: left, then up)
+                    pa = np.abs(up.astype(np.int32) - upleft)
+                    pb = np.abs(left.astype(np.int32) - upleft)
+                    pc = np.abs(left.astype(np.int32) + up
+                                - 2 * upleft.astype(np.int32))
+                    pred = np.where((pa <= pb) & (pa <= pc), left,
+                                    np.where(pb <= pc, up, upleft))
+                    left = (cur[s] + pred) & 0xFF
+                    row[s] = left
+                    upleft = up
+        out[y] = row.astype(np.uint8)
+        prev = row.astype(np.uint16)
+    return out
+
+
+def _decode_png(p: bytes) -> tuple[dict | None, str | None]:
+    """PNG (ISO/IEC 15948), pure stdlib+numpy: signature, CRC-validated
+    chunk walk, IHDR grammar, zlib inflate of the concatenated IDAT
+    stream, per-scanline unfilter. Bounded scope (same discipline as
+    kernels/pdf_extract.py): bit depth 8, color types 0/2/3/4/6,
+    interlace 0 — everything else quarantines with a typed reason.
+    Palette images are expanded through PLTE so `samples` is always raw
+    channel bytes in row order, layout-independent like the BMP path."""
+    pos, n = 8, len(p)
+    ihdr = plte = None
+    idat: list[bytes] = []
+    seen_iend = False
+    while pos < n:
+        if pos + 8 > n:
+            return None, "truncated_png_chunk"
+        clen, = struct.unpack_from(">I", p, pos)
+        ctype = p[pos + 4:pos + 8]
+        if pos + 12 + clen > n:
+            return None, "truncated_png_chunk"
+        body = p[pos + 8:pos + 8 + clen]
+        crc, = struct.unpack_from(">I", p, pos + 8 + clen)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            return None, "bad_png_crc"
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        pos += 12 + clen
+    if ihdr is None or len(ihdr) != 13:
+        return None, "bad_png_ihdr"
+    if not seen_iend:
+        return None, "truncated_png_chunk"
+    width, height, depth, color, comp, filt, interlace = \
+        struct.unpack(">IIBBBBB", ihdr)
+    if width == 0 or height == 0 or width > 1 << 24 or height > 1 << 24:
+        return None, "bad_png_dims"
+    if comp != 0 or filt != 0:
+        return None, "bad_png_ihdr"
+    if interlace != 0:
+        return None, "unsupported_png_interlace"
+    if depth != 8:
+        return None, "unsupported_png_depth"
+    ch = _PNG_CHANNELS.get(color)
+    if ch is None:
+        return None, "unsupported_png_color"
+    if not idat:
+        return None, "missing_png_idat"
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None, "bad_png_zlib"
+    if len(raw) != height * (width * ch + 1):
+        return None, "truncated_png_pixels"
+    px = _png_unfilter(raw, width, height, ch)
+    if px is None:
+        return None, "bad_png_filter"
+    if color == 3:  # palette: expand indices through PLTE to RGB
+        if plte is None or len(plte) % 3 or not plte:
+            return None, "bad_png_plte"
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = px.reshape(-1)
+        if int(idx.max(initial=0)) >= len(pal):
+            return None, "bad_png_palette_index"
+        samples = pal[idx].reshape(-1)
+    else:
+        samples = px.reshape(-1)
+    return {"kind": "image", "width": int(width), "height": int(height),
+            "sample_rate": 0, "n_frames": 1,
+            "samples": np.ascontiguousarray(samples)}, None
+
+
 def decode_payload_media(payload: bytes) -> tuple[dict | None, str | None]:
     """Magic-byte dispatch over the supported container formats. Unknown
     magic → quarantine row, mirroring the extract pipeline's error
@@ -243,6 +384,8 @@ def decode_payload_media(payload: bytes) -> tuple[dict | None, str | None]:
         return _decode_wav(payload)
     if payload[:9] == b"YUV4MPEG2":
         return _decode_y4m(payload)
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     if payload[:4] == _MAGIC:
         if len(payload) < 21:
             return None, "empty_or_short_payload"

@@ -741,20 +741,25 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str,
     the whole corpus), reassemble each doc from the survivors in original
     order, and account paragraphs in vs kept.
 
-    Scale: three bounded shuffles, no pair expansion anywhere —
-    (1) groupBy(sha) with a map-side-partial ``min(struct(doc_id, pos))``
-    (a banner shared by 10^6 docs reduces to one row per partition before
-    the exchange — hot keys cost nothing); (2) an equi-join of the
-    exploded paragraphs back to that one-winner-per-key table (build side
-    is 1 row per key, probe-side key skew is AQE skew-join territory);
-    (3) groupBy(doc_id) reassembly whose ``collect_list`` state is
-    bounded by a single document's length, never corpus-sized. Keying by
-    sha2 (not the paragraph text) keeps shuffle rows fixed-width. This is
-    the generalization the document-level suite (dedup_exact/minhash)
+    Scale: no pair expansion anywhere, and paragraph TEXT never crosses
+    an exchange (plan-asserted) — the occurrence stream carries only
+    fixed-width metadata (128-bit-at-most hash key, position, winner
+    encoding): (1) groupBy(hash) with a map-side-partial ``min(enc)``
+    (a banner shared by 10^6 docs reduces to one row per partition
+    before the exchange — hot keys cost nothing); (2) an equi-join of
+    the metadata stream back to that one-winner-per-key table (build
+    side is 1 row per key, probe-side key skew is AQE skew-join
+    territory); (3) groupBy(doc_id) of LOSER POSITIONS ONLY into a
+    per-doc cut set whose state is bounded by a single document's
+    paragraph count; (4) a join of the cut sets back to the docs, after
+    which each doc reassembles from its OWN paras array via an indexed
+    higher-order filter — so the reassembly exchange that previously
+    shipped every paragraph's text corpus-wide is gone. This is the
+    generalization the document-level suite (dedup_exact/minhash)
     cannot express: removal INSIDE surviving documents. The up-front
     repartition fans the single-file fixture scan out before the
-    paragraph/sha build (the _aug_docs discipline; real crawl tables
-    have data-determined split counts).
+    paragraph build (the _aug_docs discipline; real crawl tables have
+    data-determined split counts).
 
     ``hash_fn``: "sha" (default) keys paragraphs by sha256 — the DuckDB
     oracle's portable hash; "xx" is the production path, keying by TWO

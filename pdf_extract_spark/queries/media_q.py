@@ -271,6 +271,100 @@ def media_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("media_id", "frame_idx", "frame_off"))
 
 
+_PNG_W, _PNG_H = "doc_id % 6 + 1", "doc_id % 4 + 1"
+_PNG_V = "doc_id % 200 + 20"
+# color types cycle over the four non-palette layouts (palette expansion
+# is pytest-covered; constant-value mode keeps indices non-constant)
+_PNG_CTS = (0, 2, 4, 6)
+
+
+def _png_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (media_id, payload) of REAL zlib-compressed PNGs, one
+    per doc: dims/color-type/pixel value are doc_id arithmetic, scanline
+    filters cycle 0-4, and doc_id % 13 == 0 flips one IDAT byte so the
+    chunk CRC check must fire. Synthesis is fixture generation inside an
+    Arrow batch (fixtures/media.make_png), not a measured kernel."""
+    import pandas as pd
+
+    from ..fixtures.media import make_png
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                p = make_png(did % 6 + 1, did % 4 + 1,
+                             color_type=_PNG_CTS[did % 4],
+                             value=did % 200 + 20)
+                if did % 13 == 0:
+                    b = bytearray(p)
+                    b[41] ^= 0xFF  # inside the IHDR-following chunk walk
+                    p = bytes(b)
+                ids.append(str(did))
+                payloads.append(p)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(gen, schema="media_id string, payload binary")
+
+
+@register(
+    "media_meta_png",
+    oracle=f"""
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CASE WHEN doc_id % 13 = 0 THEN NULL ELSE 'image' END AS kind,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN 0
+                     ELSE {_PNG_W} END AS INTEGER) AS width,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN 0
+                     ELSE {_PNG_H} END AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN 0
+                     ELSE 1 END AS INTEGER) AS n_frames,
+           CASE WHEN doc_id % 13 = 0 THEN 'bad_png_crc'
+                ELSE NULL END AS error
+    FROM documents
+    """,
+)
+def media_meta_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-format decode under the value-exact gate: real PNGs
+    (zlib IDAT, per-scanline filters cycling all five spec types, chunk
+    CRCs) round-trip through the magic-dispatch decoder
+    (operators/multimodal._decode_png); the oracle states the typed
+    metadata arithmetically, including the flipped-IDAT-byte rows that
+    must quarantine as bad_png_crc. n_bytes is projected away — zlib
+    stream length is not arithmetic — and stays pytest-covered."""
+    from ..operators.multimodal import decode_media
+
+    return (decode_media(_png_media_df(spark, sf_dir))
+            .select("media_id", "kind", "width", "height", "n_frames",
+                    "error"))
+
+
+@register(
+    "media_features_png",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CASE WHEN doc_id % 13 = 0 THEN NULL
+                ELSE list_transform(range(0, 8),
+                       i -> CAST(CASE WHEN i = (doc_id % 200 + 20) // 32
+                                      THEN 1.0 ELSE 0.0 END AS REAL))
+           END AS feature,
+           CASE WHEN doc_id % 13 = 0 THEN 'bad_png_crc'
+                ELSE NULL END AS error
+    FROM documents
+    """,
+)
+def media_features_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-exact proof that PNG inflate + unfilter reconstructs the
+    PIXELS, not just the header: every valid payload's samples are one
+    per-doc byte v (the filtered stream still varies per scanline filter
+    type), so the L1-normalized 8-bin histogram must put all mass in bin
+    v >> 5. A single wrong byte after any of the five filters moves mass
+    to another bin and fails the hash compare."""
+    from ..operators.multimodal import media_features as mf
+
+    return mf(_png_media_df(spark, sf_dir))
+
+
 @register(
     "media_features",
     oracle="""

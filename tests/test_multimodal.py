@@ -87,7 +87,9 @@ def real_media_sdf(spark):
         ("cut_ppm", "image", bytearray(make_ppm(11, 7)[:-4])),
         ("cut_wav", "audio", bytearray(make_wav(16000, 480)[:-3])),
         ("cut_y4m", "video", bytearray(make_y4m(16, 12, 3)[:-10])),
-        ("png", "image", bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)),
+        # JPEG stays the representative undecodable compressed codec
+        # (PNG is decoded for real since round 5)
+        ("jpg", "image", bytearray(b"\xff\xd8\xff\xe0" + b"\x00" * 32)),
     ]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -111,7 +113,7 @@ def test_real_formats_decode_metadata(real_media_sdf):
     assert out["cut_ppm"]["error"] == "truncated_ppm_pixels"
     assert out["cut_wav"]["error"] == "truncated_wav_chunk"
     assert out["cut_y4m"]["error"] == "truncated_y4m_frame"
-    assert out["png"]["error"] == "unknown_container"
+    assert out["jpg"]["error"] == "unknown_container"
 
 
 def test_bmp_orientation_and_padding_invariance():
@@ -167,3 +169,97 @@ def test_frame_sampling_explodes_videos(media_sdf):
              for r in sample_frames(media_sdf.repartition(3)).collect()}
     for r in frames:
         assert again[(r["media_id"], r["frame_idx"])] == r["frame_digest"]
+
+
+# ---------------------------------------------------------------- PNG
+
+def test_png_roundtrip_all_color_types_and_filters():
+    """Pixel-exact inflate + unfilter for every supported color type
+    (gray/RGB/palette/gray+alpha/RGBA) under every scanline filter,
+    including mixed per-row cycling — palette indices expand through
+    PLTE so samples are layout-independent raw channel bytes."""
+    import numpy as np
+
+    from pdf_extract_spark.fixtures.media import (
+        make_png, png_expected_samples)
+    from pdf_extract_spark.operators.multimodal import decode_payload_media
+
+    for ct in (0, 2, 3, 4, 6):
+        for filters in [(0,), (1,), (2,), (3,), (4,), (0, 1, 2, 3, 4)]:
+            p = make_png(9, 6, seed=ct * 31 + filters[0],
+                         color_type=ct, filters=filters)
+            meta, err = decode_payload_media(p)
+            assert err is None, (ct, filters, err)
+            assert (meta["kind"], meta["width"], meta["height"],
+                    meta["n_frames"]) == ("image", 9, 6, 1)
+            exp = png_expected_samples(9, 6, seed=ct * 31 + filters[0],
+                                       color_type=ct)
+            assert np.array_equal(meta["samples"], exp), (ct, filters)
+
+
+def test_png_quarantine_taxonomy():
+    """Each malformed-stream class lands in its typed quarantine reason
+    instead of raising — the extract pipeline's error discipline."""
+    import struct
+    import zlib
+
+    from pdf_extract_spark.fixtures.media import make_png
+    from pdf_extract_spark.operators.multimodal import decode_payload_media
+
+    def chunk(t, b):
+        return (struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr22 = chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+
+    good = make_png(5, 4, seed=3)
+    flipped = bytearray(good)
+    flipped[41] ^= 0xFF  # first IDAT data byte
+    cases = {
+        bytes(flipped): "bad_png_crc",
+        good[:40]: "truncated_png_chunk",
+        make_png(5, 4, interlace=1): "unsupported_png_interlace",
+        sig + ihdr22 + chunk(b"IDAT", b"junk") + chunk(b"IEND", b""):
+            "bad_png_zlib",
+        sig + ihdr22 + chunk(b"IDAT", zlib.compress(b"\x00\x01"))
+            + chunk(b"IEND", b""): "truncated_png_pixels",
+        sig + ihdr22 + chunk(b"IDAT", zlib.compress(
+            b"\x07\x01\x02\x07\x03\x04")) + chunk(b"IEND", b""):
+            "bad_png_filter",
+        sig + ihdr22 + chunk(b"IEND", b""): "missing_png_idat",
+        sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+            + chunk(b"IEND", b""): "unsupported_png_depth",
+        sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 7, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+            + chunk(b"IEND", b""): "unsupported_png_color",
+    }
+    for payload, want in cases.items():
+        meta, err = decode_payload_media(payload)
+        assert meta is None and err == want, (want, err)
+
+
+def test_png_through_spark_decode(spark):
+    """PNG payloads flow through the same Arrow-batched decode_media /
+    media_features operators as every other container, partition-
+    invariantly."""
+    from pdf_extract_spark.fixtures.media import make_png
+    from pdf_extract_spark.operators.multimodal import (
+        decode_media, media_features)
+
+    rows = [("png0", bytearray(make_png(8, 5, seed=1, color_type=6))),
+            ("png1", bytearray(make_png(3, 3, seed=2, color_type=3))),
+            ("bad0", bytearray(make_png(4, 4, seed=3)[:30]))]
+    sdf = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = {r["media_id"]: r for r in decode_media(sdf).collect()}
+    assert (out["png0"]["kind"], out["png0"]["width"],
+            out["png0"]["height"]) == ("image", 8, 5)
+    assert out["png1"]["kind"] == "image"
+    assert out["bad0"]["error"] == "truncated_png_chunk"
+    feats = {r["media_id"]: r for r in media_features(sdf).collect()}
+    assert len(feats["png0"]["feature"]) == 8
+    assert feats["bad0"]["feature"] is None
+    a = sorted(map(tuple, decode_media(sdf, num_partitions=2).collect()))
+    b = sorted(map(tuple, decode_media(sdf, num_partitions=3).collect()))
+    assert a == b
