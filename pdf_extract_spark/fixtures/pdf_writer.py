@@ -127,6 +127,191 @@ def page_ops_quote_hex(lines: list[str]) -> list[str]:
     return ops
 
 
+# ---------------------------------------------------------------------
+# PDF 1.5 structural fixtures: xref streams, object streams, CID fonts.
+
+# fixture ToUnicode mapping: 2-byte codes — printable ASCII identity,
+# two bfchar specials, one array-form bfrange of Greek capitals
+CID_SPECIALS = {"Ω": 0x0100, "δ": 0x0101}
+CID_RANGE = {chr(0x0391 + k): 0x0200 + k for k in range(3)}  # Α Β Γ
+
+
+def cid_encode(text: str) -> str:
+    """Hex string of the fixture CMap's 2-byte codes for `text`."""
+    out = []
+    for ch in text:
+        if ch in CID_SPECIALS:
+            out.append(f"{CID_SPECIALS[ch]:04x}")
+        elif ch in CID_RANGE:
+            out.append(f"{CID_RANGE[ch]:04x}")
+        else:
+            out.append(f"{ord(ch) & 0xFFFF:04x}")
+    return "".join(out)
+
+
+def tounicode_cmap() -> bytes:
+    """ToUnicode CMap exercising codespacerange, bfchar, and BOTH
+    bfrange forms (destination-base and destination-array)."""
+    return (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"begincmap\n"
+        b"1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+        b"2 beginbfchar\n"
+        b"<0100> <03a9>\n"          # Omega
+        b"<0101> <03b4>\n"          # delta
+        b"endbfchar\n"
+        b"2 beginbfrange\n"
+        b"<0020> <007e> <0020>\n"   # printable ASCII identity
+        b"<0200> <0202> [<0391> <0392> <0393>]\n"
+        b"endbfrange\nendcmap\nend\n")
+
+
+def page_ops_cid(lines: list[str]) -> list[str]:
+    """Composite-font page: /F2 (Type0 + ToUnicode) with 2-byte-code hex
+    show strings — the kernel must decode them through the CMap."""
+    ops = ["BT", f"/F2 {FONT_SIZE} Tf", f"{LEFT} {TOP} Td"]
+    for i, line in enumerate(lines):
+        if i:
+            ops.append(f"0 -{LEADING} TD")
+        ops.append(f"<{cid_encode(line)}> Tj")
+    ops.append("ET")
+    return ops
+
+
+def _xref_stream_body(entries: list[tuple[int, int, int]],
+                      predictor: int) -> tuple[bytes, dict]:
+    """entries[i] = (type, field2, field3) for object i. W = [1 3 1].
+    predictor 0/1 = raw; 12 = PNG Up rows (what real writers emit)."""
+    cols = 5
+    rows = [bytes([t]) + f2.to_bytes(3, "big") + bytes([f3 & 0xFF])
+            for t, f2, f3 in entries]
+    if predictor >= 10:
+        filtered = bytearray()
+        prev = bytes(cols)
+        for row in rows:
+            filtered += bytes([2]) + bytes(
+                (row[i] - prev[i]) & 0xFF for i in range(cols))
+            prev = row
+        raw = bytes(filtered)
+        parms = {"Predictor": predictor, "Columns": cols}
+    else:
+        raw = b"".join(rows)
+        parms = None
+    return zlib.compress(raw, 6), parms
+
+
+def build_pdf2(pages_ops: list[list[str]], compress: bool = False,
+               xref_stream: bool = False, objstm: bool = False,
+               predictor: int = 0, cid_font: bool = False,
+               reverse_storage: bool = False) -> bytes:
+    """PDF 1.5 assembler. Differences from build_pdf: optional cross-
+    reference STREAM (W [1 3 1], type-1/2 entries, optional PNG Up
+    predictor), optional /ObjStm packing of every non-stream object
+    (catalog, page tree, pages, fonts), optional Type0 /F2 font whose
+    /ToUnicode CMap the extractor must honor, and optional REVERSED
+    physical object storage — page objects land in the file in reverse
+    order so only a page-tree walk (never file-order scanning) yields
+    the right reading order. objstm/predictor imply xref_stream."""
+    if objstm or predictor:
+        xref_stream = True
+    n_pages = len(pages_ops)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    f1_num = 3 + 2 * n_pages
+    f2_num, cmap_num = f1_num + 1, f1_num + 2
+    font_res = f"/F1 {f1_num} 0 R"
+    if cid_font:
+        font_res += f" /F2 {f2_num} 0 R"
+
+    dicts: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: (f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
+            .encode()),
+        f1_num: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    streams: dict[int, bytes] = {}
+    for i, ops in enumerate(pages_ops):
+        dicts[3 + 2 * i] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W} "
+            f"{PAGE_H}] /Contents {4 + 2 * i} 0 R /Resources "
+            f"<< /Font << {font_res} >> >> >>").encode()
+        streams[4 + 2 * i] = _content_stream(ops, compress=compress)
+    if cid_font:
+        dicts[f2_num] = (
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /Fixture-CID "
+            f"/Encoding /Identity-H /ToUnicode {cmap_num} 0 R >>").encode()
+        body = tounicode_cmap()
+        streams[cmap_num] = (b"<< /Length " + str(len(body)).encode()
+                             + b" >>\nstream\n" + body + b"\nendstream")
+
+    out = bytearray(b"%PDF-1.5\n" if xref_stream else b"%PDF-1.4\n")
+    offsets: dict[int, int] = {}
+    in_stm: dict[int, int] = {}  # objnum -> index within the ObjStm
+
+    emit_dicts_toplevel = dict(dicts)
+    objstm_num = None
+    if objstm:
+        # every non-stream object moves into one compressed object stream
+        objstm_num = max(list(dicts) + list(streams)) + 1
+        nums = sorted(dicts)
+        hdr, bodyparts, off = [], [], 0
+        for idx, num in enumerate(nums):
+            in_stm[num] = idx
+            piece = dicts[num] + b"\n"
+            hdr.append(f"{num} {off}")
+            bodyparts.append(piece)
+            off += len(piece)
+        header = (" ".join(hdr) + "\n").encode()
+        stm_body = zlib.compress(header + b"".join(bodyparts), 6)
+        streams[objstm_num] = (
+            f"<< /Type /ObjStm /N {len(nums)} /First {len(header)} "
+            f"/Length {len(stm_body)} /Filter /FlateDecode >>"
+            .encode() + b"\nstream\n" + stm_body + b"\nendstream")
+        emit_dicts_toplevel = {}
+
+    emit_order = sorted(list(emit_dicts_toplevel) + list(streams))
+    if reverse_storage:
+        emit_order = emit_order[::-1]
+    for num in emit_order:
+        offsets[num] = len(out)
+        obj = emit_dicts_toplevel.get(num) or streams[num]
+        out += f"{num} 0 obj\n".encode() + obj + b"\nendobj\n"
+
+    size = max(list(offsets) + list(in_stm) + [0]) + 2
+    if xref_stream:
+        xref_num = size - 1 if size - 1 not in offsets and \
+            size - 1 not in in_stm else size
+        size = xref_num + 1
+        entries = [(0, 0, 0)] * size
+        for num, off in offsets.items():
+            entries[num] = (1, off, 0)
+        for num, idx in in_stm.items():
+            entries[num] = (2, objstm_num, idx)
+        xref_at = len(out)
+        entries[xref_num] = (1, xref_at, 0)
+        body, parms = _xref_stream_body(entries, predictor)
+        d = (f"<< /Type /XRef /Size {size} /W [1 3 1] /Root 1 0 R "
+             f"/Filter /FlateDecode /Length {len(body)}")
+        if parms:
+            d += (f" /DecodeParms << /Predictor {parms['Predictor']} "
+                  f"/Columns {parms['Columns']} >>")
+        d += " >>"
+        out += (f"{xref_num} 0 obj\n".encode() + d.encode()
+                + b"\nstream\n" + body + b"\nendstream\nendobj\n")
+        out += f"startxref\n{xref_at}\n%%EOF\n".encode()
+    else:
+        xref_at = len(out)
+        out += f"xref\n0 {size}\n".encode()
+        out += b"0000000000 65535 f \n"
+        for num in range(1, size):
+            if num in offsets:
+                out += f"{offsets[num]:010d} 00000 n \n".encode()
+            else:
+                out += b"0000000000 65535 f \n"
+        out += (f"trailer\n<< /Size {size} /Root 1 0 R >>\n"
+                f"startxref\n{xref_at}\n%%EOF\n").encode()
+    return bytes(out)
+
+
 def build_pdf(pages_ops: list[list[str]], compress: bool = False) -> bytes:
     """Assemble a valid-enough PDF: header, objects, xref, trailer."""
     objects: list[bytes] = []

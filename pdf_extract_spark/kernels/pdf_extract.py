@@ -11,12 +11,26 @@ this kernel implements the same class of algorithm directly:
   sort (y desc, x asc; two-column pages left column first) → table-region
   detection via aligned x-positions → page concat in page order (tools.py:41-47).
 
+Since round 5 the kernel walks the DOCUMENT STRUCTURE first (the way a
+real crawl extractor must): classic `xref` tables AND PDF 1.5 cross-
+reference streams (/W field widths, /Index subsections, /Prev chains,
+PNG predictors), compressed object streams (/ObjStm), the Catalog →
+/Pages → /Kids page tree (pages concatenate in TREE order, not file
+order), per-page /Contents arrays with indirect /Length, and composite-
+font text: a /ToUnicode CMap (codespacerange + bfchar + bfrange) decodes
+1- or 2-byte show-string codes to Unicode per the current Tf font. When
+the structure is malformed the kernel falls back to the legacy
+stream-scan salvage path; the quarantine taxonomy distinguishes
+unsupported features (`unsupported_encrypted_pdf`,
+`unsupported_stream_filter`) from malformed bytes
+(`bad_xref`/`bad_flate_stream`/`content_stream_parse_error`).
+
 Bounded scope: content streams (raw or FlateDecode-compressed, located by
 the /Length entry — never by scanning for `endstream`, which compressed
 bytes may contain) with BT/ET, Tf, Td, TD, Tm, T*, TL, Tj, TJ, ' and
-literal/hex string arguments — exactly what the fixture writer emits
-(FIXTURES.md §1). Pure function of bytes ⇒ usable as the single-node
-golden oracle.
+literal/hex string arguments — what the fixture writer emits
+(FIXTURES.md §1) plus the structural grammar above. Pure function of
+bytes ⇒ usable as the single-node golden oracle.
 """
 
 from __future__ import annotations
@@ -56,6 +70,474 @@ def _iter_streams(payload: bytes):
                 yield None  # signals corrupt stream
                 continue
         yield body
+
+# --------------------------------------------------------------------
+# Document structure: object grammar, xref (table + stream), ObjStm,
+# page tree, ToUnicode CMaps.
+
+class _Malformed(Exception):
+    """Structured parse failed — the scan salvage path may still work."""
+
+
+class _Unsupported(Exception):
+    """Feature the kernel intentionally does not implement; args[0] is
+    the typed quarantine reason."""
+
+
+class _Ref:
+    __slots__ = ("num",)
+
+    def __init__(self, num: int) -> None:
+        self.num = num
+
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+def _skip_ws(p: bytes, pos: int) -> int:
+    n = len(p)
+    while pos < n:
+        c = p[pos]
+        if c in _WS:
+            pos += 1
+        elif c == 0x25:  # '%' comment runs to EOL
+            while pos < n and p[pos] not in b"\r\n":
+                pos += 1
+        else:
+            break
+    return pos
+
+
+_NAME_RE = re.compile(rb"/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
+_NUM_RE = re.compile(rb"[-+]?\d*\.?\d+")
+_REF_RE = re.compile(rb"(\d+)\s+(\d+)\s+R\b")
+
+
+def _parse_value(p: bytes, pos: int):
+    """Recursive-descent parse of one PDF object value at `pos`.
+    Returns (value, next_pos). Indirect references become _Ref."""
+    pos = _skip_ws(p, pos)
+    if pos >= len(p):
+        raise _Malformed("eof")
+    c = p[pos]
+    if p.startswith(b"<<", pos):
+        pos += 2
+        d: dict[str, object] = {}
+        while True:
+            pos = _skip_ws(p, pos)
+            if p.startswith(b">>", pos):
+                return d, pos + 2
+            m = _NAME_RE.match(p, pos)
+            if not m:
+                raise _Malformed("dict key")
+            key = m.group(0)[1:].decode("latin-1")
+            val, pos = _parse_value(p, m.end())
+            d[key] = val
+        # unreachable
+    if c == 0x5B:  # '['
+        pos += 1
+        arr: list = []
+        while True:
+            pos = _skip_ws(p, pos)
+            if pos < len(p) and p[pos] == 0x5D:
+                return arr, pos + 1
+            val, pos = _parse_value(p, pos)
+            arr.append(val)
+    if c == 0x2F:  # name
+        m = _NAME_RE.match(p, pos)
+        return "/" + m.group(0)[1:].decode("latin-1"), m.end()
+    if c == 0x28:  # literal string: track nesting
+        depth, i = 1, pos + 1
+        while i < len(p) and depth:
+            b = p[i]
+            if b == 0x5C:
+                i += 2
+                continue
+            if b == 0x28:
+                depth += 1
+            elif b == 0x29:
+                depth -= 1
+            i += 1
+        return p[pos + 1:i - 1], i
+    if c == 0x3C:  # hex string (not <<, handled above)
+        end = p.find(b">", pos)
+        if end < 0:
+            raise _Malformed("hex string")
+        hx = re.sub(rb"\s", b"", p[pos + 1:end])
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii")), end + 1
+    m = _REF_RE.match(p, pos)
+    if m:
+        return _Ref(int(m.group(1))), m.end()
+    m = _NUM_RE.match(p, pos)
+    if m:
+        t = m.group(0)
+        return (float(t) if b"." in t else int(t)), m.end()
+    for kw, v in ((b"true", True), (b"false", False), (b"null", None)):
+        if p.startswith(kw, pos):
+            return v, pos + len(kw)
+    raise _Malformed(f"token at {pos}")
+
+
+def _unpredict(data: bytes, parms: dict) -> bytes:
+    """Reverse the /Predictor on an inflated xref/ObjStm stream. PNG
+    predictors (>= 10) prefix each Columns-byte row with a filter byte;
+    bpp is 1 for the 8-bit single-component data xref streams use."""
+    pred = int(parms.get("Predictor", 1))
+    if pred == 1:
+        return data
+    if pred < 10:
+        raise _Unsupported("unsupported_stream_filter")
+    cols = int(parms.get("Columns", 1))
+    if cols <= 0 or len(data) % (cols + 1):
+        raise _Malformed("predictor row size")
+    rows = memoryview(data)
+    out = bytearray()
+    prev = bytearray(cols)
+    for r in range(len(data) // (cols + 1)):
+        row = bytearray(rows[r * (cols + 1) + 1:(r + 1) * (cols + 1)])
+        f = rows[r * (cols + 1)]
+        if f == 1:
+            for i in range(1, cols):
+                row[i] = (row[i] + row[i - 1]) & 0xFF
+        elif f == 2:
+            for i in range(cols):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif f == 3:
+            left = 0
+            for i in range(cols):
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+                left = row[i]
+        elif f == 4:
+            left = upleft = 0
+            for i in range(cols):
+                up = prev[i]
+                pa, pb = abs(up - upleft), abs(left - upleft)
+                pc = abs(left + up - 2 * upleft)
+                pr = left if pa <= pb and pa <= pc else (
+                    up if pb <= pc else upleft)
+                row[i] = (row[i] + pr) & 0xFF
+                left, upleft = row[i], up
+        elif f != 0:
+            raise _Malformed("predictor filter byte")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+class _Doc:
+    """Lazy object store over one PDF's bytes: xref chain (tables and
+    xref streams), ObjStm expansion, /Length-indirect stream slicing."""
+
+    _OBJ_HDR_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+    _MAX_XREF_SECTIONS = 64
+
+    def __init__(self, payload: bytes) -> None:
+        self.p = payload
+        self.offsets: dict[int, int] = {}       # objnum -> byte offset
+        self.in_stm: dict[int, tuple[int, int]] = {}  # objnum -> (stm, idx)
+        self.trailer: dict = {}
+        self._cache: dict[int, object] = {}
+        self._stm_cache: dict[int, list] = {}
+        self._load_xref_chain()
+        if "Encrypt" in self.trailer:
+            raise _Unsupported("unsupported_encrypted_pdf")
+
+    # -- xref -----------------------------------------------------------
+    def _load_xref_chain(self) -> None:
+        tail = self.p[-2048:]
+        m = None
+        for m in re.finditer(rb"startxref\s+(\d+)", tail):
+            pass
+        if m is None:
+            raise _Malformed("no startxref")
+        off = int(m.group(1))
+        seen: set[int] = set()
+        for _ in range(self._MAX_XREF_SECTIONS):
+            if off in seen or not 0 <= off < len(self.p):
+                raise _Malformed("xref offset")
+            seen.add(off)
+            pos = _skip_ws(self.p, off)
+            if self.p.startswith(b"xref", pos):
+                trailer = self._load_xref_table(pos + 4)
+            else:
+                trailer = self._load_xref_stream(pos)
+            for k, v in trailer.items():
+                self.trailer.setdefault(k, v)
+            nxt = trailer.get("Prev")
+            if nxt is None:
+                return
+            off = int(nxt)
+        raise _Malformed("xref chain too long")
+
+    def _load_xref_table(self, pos: int) -> dict:
+        p = self.p
+        while True:
+            pos = _skip_ws(p, pos)
+            if p.startswith(b"trailer", pos):
+                val, _ = _parse_value(p, pos + 7)
+                if not isinstance(val, dict):
+                    raise _Malformed("trailer")
+                return val
+            m = re.compile(rb"(\d+)\s+(\d+)").match(p, pos)
+            if not m:
+                raise _Malformed("xref subsection header")
+            start, count = int(m.group(1)), int(m.group(2))
+            pos = _skip_ws(p, m.end())
+            for i in range(count):
+                ent = p[pos:pos + 20]
+                if len(ent) < 18:
+                    raise _Malformed("xref entry")
+                if ent[17:18] == b"n":
+                    self.offsets.setdefault(start + i, int(ent[:10]))
+                pos += 20
+
+    def _load_xref_stream(self, pos: int) -> dict:
+        d, body = self._parse_stream_at(pos)
+        if d.get("Type") != "/XRef":
+            raise _Malformed("not an xref stream")
+        w = d.get("W")
+        if not isinstance(w, list) or not 2 <= len(w) <= 3:
+            raise _Malformed("xref /W")
+        w = [int(x) for x in w] + [0] * (3 - len(w))
+        rowlen = sum(w)
+        index = d.get("Index") or [0, int(d.get("Size", 0))]
+        pairs = [(int(index[i]), int(index[i + 1]))
+                 for i in range(0, len(index), 2)]
+        if rowlen <= 0 or len(body) < rowlen * sum(c for _, c in pairs):
+            raise _Malformed("xref stream size")
+        pos2 = 0
+
+        def rd(width: int, default: int) -> int:
+            nonlocal pos2
+            if not width:
+                return default  # spec: absent field defaults (type -> 1)
+            v = int.from_bytes(body[pos2:pos2 + width], "big")
+            pos2 += width
+            return v
+
+        for start, count in pairs:
+            for i in range(count):
+                typ, f2, f3 = rd(w[0], 1), rd(w[1], 0), rd(w[2], 0)
+                num = start + i
+                if typ == 1:
+                    self.offsets.setdefault(num, f2)
+                elif typ == 2 and num not in self.in_stm:
+                    self.in_stm[num] = (f2, f3)
+        return d
+
+    # -- objects --------------------------------------------------------
+    def _decode_stream(self, d: dict, raw: bytes) -> bytes:
+        filt = d.get("Filter")
+        filters = filt if isinstance(filt, list) else ([filt] if filt else [])
+        for f in filters:
+            if f == "/FlateDecode":
+                try:
+                    raw = zlib.decompress(raw)
+                except zlib.error as e:
+                    raise _Malformed("flate") from e
+                parms = d.get("DecodeParms") or {}
+                if isinstance(parms, dict) and parms:
+                    raw = _unpredict(raw, parms)
+            else:
+                raise _Unsupported("unsupported_stream_filter")
+        return raw
+
+    def _parse_stream_at(self, pos: int) -> tuple[dict, bytes]:
+        """Parse `N G obj << dict >> stream...` at pos; return decoded body."""
+        p = self.p
+        m = self._OBJ_HDR_RE.match(p, _skip_ws(p, pos))
+        start = m.end() if m else pos
+        d, after = _parse_value(p, start)
+        if not isinstance(d, dict):
+            raise _Malformed("stream dict")
+        sm = re.compile(rb"\s*stream\r?\n").match(p, after)
+        if not sm:
+            raise _Malformed("stream keyword")
+        length = self.resolve(d.get("Length"))
+        if not isinstance(length, int) or length < 0 \
+                or sm.end() + length > len(p):
+            raise _Malformed("stream length")
+        return d, self._decode_stream(d, p[sm.end():sm.end() + length])
+
+    def resolve(self, v: object):
+        while isinstance(v, _Ref):
+            v = self.get(v.num)
+        return v
+
+    def get(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        self._cache[num] = None  # cycle guard
+        if num in self.offsets:
+            pos = _skip_ws(self.p, self.offsets[num])
+            m = self._OBJ_HDR_RE.match(self.p, pos)
+            if not m or int(m.group(1)) != num:
+                raise _Malformed("object header")
+            val, after = _parse_value(self.p, m.end())
+            # a stream object resolves to its (dict, body) pair
+            if isinstance(val, dict) and re.compile(
+                    rb"\s*stream\r?\n").match(self.p, after):
+                val = (val, self._parse_stream_at(self.offsets[num])[1])
+        elif num in self.in_stm:
+            stm_num, idx = self.in_stm[num]
+            objs = self._objstm(stm_num)
+            if idx >= len(objs):
+                raise _Malformed("objstm index")
+            val = objs[idx]
+        else:
+            return None
+        self._cache[num] = val
+        return val
+
+    def _objstm(self, stm_num: int) -> list:
+        if stm_num in self._stm_cache:
+            return self._stm_cache[stm_num]
+        if stm_num not in self.offsets:
+            raise _Malformed("objstm missing")
+        d, body = self._parse_stream_at(self.offsets[stm_num])
+        if d.get("Type") != "/ObjStm":
+            raise _Malformed("not an objstm")
+        n, first = int(self.resolve(d.get("N", 0))), \
+            int(self.resolve(d.get("First", 0)))
+        pos, pairs = 0, []
+        for _ in range(n):
+            num, pos = _parse_value(body, pos)
+            off, pos = _parse_value(body, pos)
+            pairs.append((int(num), int(off)))
+        objs = [_parse_value(body, first + off)[0] for _, off in pairs]
+        self._stm_cache[stm_num] = objs
+        return objs
+
+
+# -- ToUnicode CMap -----------------------------------------------------
+
+_CMAP_CSR_RE = re.compile(
+    rb"begincodespacerange(.*?)endcodespacerange", re.DOTALL)
+_CMAP_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_CMAP_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_CMAP_HEX_RE = re.compile(rb"<([0-9A-Fa-f]*)>")
+
+
+class _CMap:
+    """code (1- or 2-byte) → Unicode, from a /ToUnicode CMap stream."""
+
+    __slots__ = ("nbytes", "map")
+
+    def __init__(self, body: bytes) -> None:
+        self.nbytes = 2
+        m = _CMAP_CSR_RE.search(body)
+        if m:
+            hexes = _CMAP_HEX_RE.findall(m.group(1))
+            if hexes:
+                self.nbytes = max(1, len(hexes[0]) // 2)
+        self.map: dict[int, str] = {}
+        for sect in _CMAP_BFCHAR_RE.finditer(body):
+            toks = _CMAP_HEX_RE.findall(sect.group(1))
+            for i in range(0, len(toks) - 1, 2):
+                self.map[int(toks[i], 16)] = self._u(toks[i + 1])
+        for sect in _CMAP_BFRANGE_RE.finditer(body):
+            # <lo> <hi> <dst>  |  <lo> <hi> [<d0> <d1> ...]
+            chunk = sect.group(1)
+            pos = 0
+            while True:
+                toks = []
+                scan = pos
+                for _ in range(2):
+                    hm = _CMAP_HEX_RE.search(chunk, scan)
+                    if not hm:
+                        break
+                    toks.append(hm)
+                    scan = hm.end()
+                if len(toks) < 2:
+                    break
+                lo, hi = int(toks[0].group(1), 16), int(toks[1].group(1), 16)
+                nxt = _skip_ws(chunk, scan)
+                if nxt < len(chunk) and chunk[nxt] == 0x5B:  # array form
+                    end = chunk.find(b"]", nxt)
+                    if end < 0:
+                        break
+                    dsts = _CMAP_HEX_RE.findall(chunk[nxt:end])
+                    for k, dst in enumerate(dsts):
+                        if lo + k <= hi:
+                            self.map[lo + k] = self._u(dst)
+                    pos = end + 1
+                else:
+                    hm = _CMAP_HEX_RE.search(chunk, nxt)
+                    if not hm:
+                        break
+                    base = int(hm.group(1), 16)
+                    for k in range(hi - lo + 1):
+                        self.map[lo + k] = self._u(
+                            format(base + k, "x").zfill(
+                                len(hm.group(1))).encode())
+                    pos = hm.end()
+
+    @staticmethod
+    def _u(hx: bytes) -> str:
+        raw = bytes.fromhex(hx.decode("ascii").zfill((len(hx) + 1) // 2 * 2))
+        if len(raw) % 2:
+            raw = b"\x00" + raw
+        return raw.decode("utf-16-be", errors="replace")
+
+    def decode(self, raw: bytes) -> str:
+        out = []
+        for i in range(0, len(raw) - self.nbytes + 1, self.nbytes):
+            out.append(self.map.get(
+                int.from_bytes(raw[i:i + self.nbytes], "big"), "�"))
+        return "".join(out)
+
+
+def _page_fonts(doc: _Doc, page: dict) -> dict[str, _CMap]:
+    """Resolve the page's /Resources /Font entries to ToUnicode CMaps
+    (fonts without one decode as latin-1, the simple-font path)."""
+    fonts: dict[str, _CMap] = {}
+    res = doc.resolve(page.get("Resources")) or {}
+    fdict = doc.resolve(res.get("Font")) if isinstance(res, dict) else None
+    if not isinstance(fdict, dict):
+        return fonts
+    for name, ref in fdict.items():
+        fobj = doc.resolve(ref)
+        if isinstance(fobj, dict):
+            tu = doc.resolve(fobj.get("ToUnicode"))
+            if isinstance(tu, tuple):
+                fonts[name] = _CMap(tu[1])
+    return fonts
+
+
+def _walk_pages(doc: _Doc):
+    """Yield (content_bytes, fonts) per page in PAGE-TREE order."""
+    root = doc.resolve(doc.trailer.get("Root"))
+    if not isinstance(root, dict):
+        raise _Malformed("no catalog")
+    out = []
+    seen = 0
+    work = [root.get("Pages")]
+    while work:
+        node = doc.resolve(work.pop(0))
+        if not isinstance(node, dict):
+            raise _Malformed("page tree node")
+        if node.get("Type") == "/Pages" or "Kids" in node:
+            kids = doc.resolve(node.get("Kids")) or []
+            if not isinstance(kids, list):
+                raise _Malformed("kids")
+            work = list(kids) + work
+            seen += 1
+            if seen > 10_000:
+                raise _Malformed("page tree too deep")
+            continue
+        contents = doc.resolve(node.get("Contents"))
+        parts: list[bytes] = []
+        items = contents if isinstance(contents, list) else [contents]
+        for it in items:
+            v = doc.resolve(it) if isinstance(it, _Ref) else it
+            if isinstance(v, tuple):
+                parts.append(v[1])
+        out.append((b"\n".join(parts), _page_fonts(doc, node)))
+    return out
+
 
 # layout constants (kernel spec)
 Y_TOL = 3.0            # same-line y tolerance (pts)
@@ -102,8 +584,12 @@ def _unescape(raw: bytes) -> str:
     return _ESC_RE.sub(sub, raw).decode("latin-1")
 
 
-def _parse_spans(stream: bytes) -> list[_Span]:
-    """Execute the text operators of one content stream into positioned spans."""
+def _parse_spans(stream: bytes,
+                 fonts: dict[str, _CMap] | None = None) -> list[_Span]:
+    """Execute the text operators of one content stream into positioned
+    spans. `fonts` maps resource names to ToUnicode CMaps: while such a
+    font is selected (Tf), show-string bytes are n-byte codes decoded
+    through its CMap; otherwise bytes decode as latin-1 (simple fonts)."""
     spans: list[_Span] = []
     size = 12.0
     tm_x = tm_y = 0.0          # current text position (e,f of Tm)
@@ -112,6 +598,10 @@ def _parse_spans(stream: bytes) -> list[_Span]:
     stack: list = []           # operand stack
     in_array = False
     array_items: list = []
+    cmap: _CMap | None = None
+
+    def show(s: str) -> str:
+        return cmap.decode(s.encode("latin-1")) if cmap else s
 
     for m in _TOKEN_RE.finditer(stream):
         tok = m.group(0)
@@ -150,6 +640,10 @@ def _parse_spans(stream: bytes) -> list[_Span]:
                 stack = []
             elif op == "Tf" and len(stack) >= 1:
                 size = float(stack[-1])
+                if (fonts and len(stack) >= 2
+                        and isinstance(stack[-2], str)
+                        and stack[-2].startswith("/")):
+                    cmap = fonts.get(stack[-2][1:])
                 stack = []
             elif op == "Td" and len(stack) >= 2:
                 lm_x += float(stack[-2]); lm_y += float(stack[-1])
@@ -176,20 +670,26 @@ def _parse_spans(stream: bytes) -> list[_Span]:
                 tm_x, tm_y = lm_x, lm_y
                 s = stack[-1]
                 if isinstance(s, str) and s:
-                    spans.append(_Span(tm_x, tm_y, size, s))
-                    tm_x += CHAR_W * size * len(s)
+                    s = show(s)
+                    if s:
+                        spans.append(_Span(tm_x, tm_y, size, s))
+                        tm_x += CHAR_W * size * len(s)
                 stack = []
             elif op == "Tj" and stack:
                 s = stack[-1]
                 if isinstance(s, str) and s:
-                    spans.append(_Span(tm_x, tm_y, size, s))
-                    tm_x += CHAR_W * size * len(s)
+                    s = show(s)
+                    if s:
+                        spans.append(_Span(tm_x, tm_y, size, s))
+                        tm_x += CHAR_W * size * len(s)
                 stack = []
             elif op == "TJ" and stack:
                 arr = stack[-1]
                 if isinstance(arr, list):
                     for item in arr:
                         if isinstance(item, str):
+                            if item:
+                                item = show(item)
                             if item:
                                 spans.append(_Span(tm_x, tm_y, size, item))
                                 tm_x += CHAR_W * size * len(item)
@@ -283,13 +783,22 @@ def _column_text(spans: list[_Span]) -> str:
     return "\n".join(out)
 
 
-def extract_pdf_text(payload: bytes) -> tuple[str | None, str | None]:
-    """(text, error) from PDF bytes: per-page layout text, pages joined in
-    document order by blank lines, stripped (reference tools.py:41-47)."""
-    if not payload.startswith(b"%PDF-"):
-        return None, "not_pdf"
-    if b"%%EOF" not in payload:
-        return None, "truncated_pdf"
+def _extract_structured(payload: bytes) -> str:
+    """Page-tree-ordered extraction through the xref/object machinery.
+    Raises _Malformed / _Unsupported; never returns on those paths."""
+    doc = _Doc(payload)
+    pages = []
+    for body, fonts in _walk_pages(doc):
+        spans = _parse_spans(body, fonts)
+        if spans:
+            pages.append(_page_text(spans))
+    return "\n\n".join(pages).strip()
+
+
+def _extract_scan(payload: bytes) -> tuple[str | None, str | None]:
+    """Legacy salvage path: slice every `<<…>>stream` body in FILE order.
+    Correct whenever pages are stored in reading order (all fixtures
+    before round 5) and the only streams are content streams."""
     pages = []
     for body in _iter_streams(payload):
         if body is None:
@@ -306,3 +815,32 @@ def extract_pdf_text(payload: bytes) -> tuple[str | None, str | None]:
     if not text:
         return None, "no_text_content"
     return text, None
+
+
+def extract_pdf_text(payload: bytes) -> tuple[str | None, str | None]:
+    """(text, error) from PDF bytes: per-page layout text, pages joined in
+    PAGE-TREE order by blank lines, stripped (reference tools.py:41-47).
+
+    Strategy mirrors production crawl extractors: parse the document
+    structure (xref table/stream → catalog → page tree → contents +
+    fonts); if the structure is malformed, fall back to the stream-scan
+    salvage path (file order — identical output for well-ordered PDFs,
+    and the only option when the trailer is damaged). Unsupported
+    features quarantine with their own typed reasons so operators can
+    distinguish `unsupported_*` (extend the kernel) from `bad_*`/
+    `truncated_*`/`*_parse_error` (bad crawl bytes)."""
+    if not payload.startswith(b"%PDF-"):
+        return None, "not_pdf"
+    if b"%%EOF" not in payload:
+        return None, "truncated_pdf"
+    try:
+        text = _extract_structured(payload)
+        if not text:
+            return None, "no_text_content"
+        return text, None
+    except _Unsupported as e:
+        return None, e.args[0]
+    except _Malformed:
+        return _extract_scan(payload)
+    except Exception:
+        return None, "content_stream_parse_error"

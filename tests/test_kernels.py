@@ -539,3 +539,96 @@ def test_markdown_tight_lists_and_structure_escape():
     assert blocks[2].startswith("\\# ")
     assert blocks[3].startswith("\\> ")
     assert blocks[4].startswith("-no space")
+
+
+# -------------------------------------------------- PDF 1.5 structure
+
+def _std_pages():
+    return [pdf_writer.page_ops_simple(["Hello world", "second line"]),
+            pdf_writer.page_ops_table(["a", "b"],
+                                      [["1", "2"], ["3", "4"], ["5", "6"]]),
+            pdf_writer.page_ops_simple(["third page"])]
+
+
+def test_pdf15_structural_variants_byte_identical():
+    """xref streams (raw + PNG-Up predictor), object streams, compressed
+    contents, and reversed physical storage must all extract the SAME
+    text as the classic-xref writer — structure never leaks into text."""
+    base, err = extract_pdf_text(pdf_writer.build_pdf(_std_pages()))
+    assert err is None
+    for kw in [dict(), dict(compress=True), dict(xref_stream=True),
+               dict(xref_stream=True, predictor=12), dict(objstm=True),
+               dict(objstm=True, predictor=12, compress=True),
+               dict(xref_stream=True, reverse_storage=True),
+               dict(objstm=True, reverse_storage=True)]:
+        t, e = extract_pdf_text(pdf_writer.build_pdf2(_std_pages(), **kw))
+        assert e is None and t == base, (kw, e)
+
+
+def test_pdf15_page_tree_order_beats_file_order():
+    """With reversed physical storage the legacy scan path concatenates
+    pages backwards — only the page-tree walk yields reading order.
+    Proves the structured path is doing real work, not vestigial."""
+    from pdf_extract_spark.kernels.pdf_extract import _extract_scan
+
+    base, _ = extract_pdf_text(pdf_writer.build_pdf(_std_pages()))
+    p = pdf_writer.build_pdf2(_std_pages(), xref_stream=True,
+                              reverse_storage=True)
+    assert extract_pdf_text(p)[0] == base
+    scan_t, scan_e = _extract_scan(p)
+    assert scan_e is None and scan_t != base
+
+
+def test_pdf_tounicode_cmap_decodes_cid_text():
+    """Type0 font with a ToUnicode CMap: 2-byte-code hex strings decode
+    through bfchar, scalar bfrange (ASCII identity), and array bfrange
+    (Greek capitals); an unmapped code becomes U+FFFD, never a crash."""
+    pages_ops = [pdf_writer.page_ops_cid(["Hello Ω and δ", "ΑΒΓ end"])]
+    t, e = extract_pdf_text(pdf_writer.build_pdf2(pages_ops, cid_font=True))
+    assert e is None and t == "Hello Ω and δ\nΑΒΓ end"
+    # unmapped code (0x3000 is outside every bf section)
+    bad = [["BT", "/F2 12 Tf", "72 720 Td", "<30000041> Tj", "ET"]]
+    t, e = extract_pdf_text(pdf_writer.build_pdf2(bad, cid_font=True))
+    assert e is None and t == "�A"
+
+
+def test_pdf_xref_prev_chain_incremental_update():
+    """Incremental update: an appended body + xref section with /Prev
+    must win for re-declared objects while older sections still resolve
+    everything else (newest-section-wins discipline)."""
+    base = pdf_writer.build_pdf([pdf_writer.page_ops_simple(["v1 text"])])
+    # append a replacement content stream (object 4) + a new xref section
+    new_stream = pdf_writer._content_stream(
+        pdf_writer.page_ops_simple(["v2 text"]))
+    old_xref_at = int(base.rsplit(b"startxref\n", 1)[1].split(b"\n")[0])
+    out = bytearray(base)
+    off4 = len(out)
+    out += b"4 0 obj\n" + new_stream + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n4 1\n" + f"{off4:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size 6 /Root 1 0 R /Prev {old_xref_at} >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    t, e = extract_pdf_text(bytes(out))
+    assert e is None and t == "v2 text"
+
+
+def test_pdf_unsupported_vs_malformed_taxonomy():
+    """Quarantine reasons split cleanly: unsupported_* for features the
+    kernel declines (encryption, non-Flate filters), fallback-to-scan
+    for malformed structure (bad startxref), bad_flate_stream for a
+    corrupt body."""
+    base_pages = _std_pages()
+    base, _ = extract_pdf_text(pdf_writer.build_pdf(base_pages))
+
+    enc = pdf_writer.build_pdf(base_pages).replace(
+        b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
+    assert extract_pdf_text(enc) == (None, "unsupported_encrypted_pdf")
+
+    comp = pdf_writer.build_pdf2(base_pages, compress=True)
+    dct = comp.replace(b"/Filter /FlateDecode", b"/Filter /DCTDecode  ")
+    assert extract_pdf_text(dct) == (None, "unsupported_stream_filter")
+
+    broken = pdf_writer.build_pdf2(base_pages, xref_stream=True).replace(
+        b"startxref\n", b"startxref\n9")
+    t, e = extract_pdf_text(broken)  # scan salvage still succeeds
+    assert e is None and t == base
