@@ -501,29 +501,35 @@ def dedup_documents(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     audits — and cached the persisted frame the CALLER must unpersist
     once both outputs are materialized.
 
-    The keyed frame is persisted (memory-and-disk): four downstream
-    branches consume it (winners agg, tagged join, survivor-url lookup,
-    and the near-dup pass via exact_kept), and without the cache each one
-    re-scans the committed stage parquet AND re-runs the full-text
-    xxhash64 passes — measured as the job's most expensive stage before
-    this (stage wall 79 s at local[8]/300k -> see BENCH.md)."""
+    Document TEXT never crosses an exact-pass exchange (round-5 rewrite,
+    the dedup_paragraphs discipline): the winner election runs on a
+    narrow persisted metadata frame (url, k1, k2, enc — fixed-width rows,
+    text hashed exactly once on the way in), losers come back as a
+    url set, and survivors are the original docs ANTI-JOINED against it.
+    At bench scale AQE broadcasts the loser side, so the wide frame
+    moves through ZERO exchanges (previously the full text shuffled on
+    (k1, k2) through the winner join — the job's largest single memory-
+    bandwidth draw at 300k docs); at a 30%-duplicate crawl scale the
+    anti-join degrades to ONE url-keyed text shuffle, never worse than
+    the old shape. enc = doc_key || url (doc_key is fixed-width 32 hex)
+    so one string MIN elects the winner AND carries its url for the
+    audit row — no second survivor-url join, and min() hash-aggregates
+    with map-side partials."""
     from pyspark import StorageLevel
-    keyed = (docs.withColumn("k1", F.xxhash64("text"))
-             .withColumn("k2", F.xxhash64(F.lit(1), "text"))
-             .withColumn("doc_key", _doc_key())
-             .persist(StorageLevel.MEMORY_AND_DISK))
-    winners = keyed.groupBy("k1", "k2").agg(F.min("doc_key").alias("w_key"))
-    tagged = keyed.join(winners, ["k1", "k2"])
-    exact_kept = (tagged.filter(F.col("doc_key") == F.col("w_key"))
-                  .drop("k1", "k2", "doc_key", "w_key"))
-    # name the survivor url for the audit row (join winners' key -> url)
-    key_url = keyed.select("doc_key", F.col("url").alias("w_url"))
-    exact_dropped = (tagged.filter(F.col("doc_key") != F.col("w_key"))
-                     .select("url", F.col("w_key").alias("doc_key"))
-                     .join(key_url, "doc_key")
+    meta = (docs.select(
+        "url",
+        F.xxhash64("text").alias("k1"),
+        F.xxhash64(F.lit(1), "text").alias("k2"),
+        F.concat(_doc_key(), F.col("url")).alias("enc"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    winners = meta.groupBy("k1", "k2").agg(F.min("enc").alias("w_enc"))
+    exact_dropped = (meta.join(winners, ["k1", "k2"])
+                     .filter(F.col("enc") != F.col("w_enc"))
                      .select("url",
                              F.concat(F.lit("exact_duplicate_of:"),
-                                      "w_url").alias("error")))
+                                      F.expr("substring(w_enc, 33)"))
+                             .alias("error")))
+    exact_kept = docs.join(exact_dropped.select("url"), "url", "left_anti")
 
     pairs = near_dup_pairs(exact_kept)
     from ..queries.dedup_q import connected_components_star
@@ -536,7 +542,7 @@ def dedup_documents(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
                                      "label").alias("error")))
     kept = exact_kept.join(near_dropped.select("url"), "url", "left_anti")
     dropped = exact_dropped.unionByName(near_dropped)
-    return kept, dropped, keyed
+    return kept, dropped, meta
 
 
 CUT_N = 8  # words per excision gram. Lee et al. 2022 cut duplicated
