@@ -332,3 +332,81 @@ def test_warc_hardening_chunked_oversized_langdetect(spark, tmp_path_factory):
     ext = {r["url"]: r for r in extract_text(df).collect()}
     assert ext["https://x.example/chunked"]["error"] is None
     assert ext["https://x.example/chunked"]["lang"] == "en"
+
+
+def test_stream_incremental_near_dedup(spark, tmp_path_factory):
+    """Streaming twin of dedup_incremental: new snapshots stream against
+    the retained corpus. Asserts (a) the batch contract per verdict row
+    (near-copies flagged with the right dup_of, fresh docs kept, short
+    docs kept), (b) NO old×old work — output rows are exactly the new
+    urls, retained urls never appear as subjects, and (c) BOUNDED STATE:
+    the only stateful operator holds zero rows after every drain, because
+    candidates are batch-local stream-static joins."""
+    from pdf_extract_spark.streaming.incremental import (
+        retained_sketch, stream_dedup_incremental)
+
+    base = str(tmp_path_factory.mktemp("stream_inc"))
+    input_dir, out_dir, ckpt = (os.path.join(base, d)
+                                for d in ("in", "out", "ckpt"))
+    os.makedirs(input_dir)
+
+    def doc(i: int, n: int = 30) -> str:
+        return " ".join(f"w{i}x{j}" for j in range(n))
+
+    retained = spark.createDataFrame(
+        [(f"old{i}", doc(i)) for i in range(20)], "url string, text string")
+    band_table, sig_table = retained_sketch(retained)
+    band_table = band_table.persist()
+    sig_table = sig_table.persist()
+
+    def drain() -> dict:
+        stream = (spark.readStream.schema("url string, text string")
+                  .format("parquet").load(input_dir))
+        out = stream_dedup_incremental(stream, band_table, sig_table)
+        q = (out.writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        progress = q.lastProgress
+        return progress
+
+    # batch 1: near-copy of old3 (first word dropped), a fresh doc, a
+    # too-short doc
+    spark.createDataFrame(
+        [("new_a", doc(3).split(" ", 1)[1]),
+         ("new_b", doc(999)),
+         ("new_c", "just two")], "url string, text string"
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+    p1 = drain()
+
+    # batch 2: exact text of old7 (jaccard 1.0), another fresh doc
+    spark.createDataFrame(
+        [("new_d", doc(7)), ("new_e", doc(777))],
+        "url string, text string"
+    ).coalesce(1).write.mode("append").parquet(input_dir)
+    p2 = drain()
+
+    rows = {r["url"]: r for r in spark.read.parquet(out_dir).collect()}
+    # (b) exactly the new urls — no retained url ever becomes a subject
+    assert set(rows) == {"new_a", "new_b", "new_c", "new_d", "new_e"}
+
+    assert rows["new_a"]["keep"] is False
+    assert rows["new_a"]["dup_of"] == "old3"
+    assert rows["new_a"]["best_jaccard"] >= 0.5
+    assert rows["new_b"]["keep"] is True and rows["new_b"]["n_dups"] == 0
+    assert rows["new_c"]["keep"] is True  # < SHINGLE_N words: kept
+    assert rows["new_d"]["keep"] is False
+    assert rows["new_d"]["dup_of"] == "old7"
+    assert rows["new_d"]["best_jaccard"] == 1.0
+    assert rows["new_e"]["keep"] is True
+
+    # (c) bounded state: zero rows in the state store after every drain
+    for progress in (p1, p2):
+        assert progress is not None
+        ops = progress["stateOperators"]
+        assert ops, "expected the applyInPandasWithState operator"
+        assert all(op["numRowsTotal"] == 0 for op in ops), ops
+
+    band_table.unpersist()
+    sig_table.unpersist()
