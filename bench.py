@@ -106,6 +106,13 @@ BENCH_QUERIES = [
     "bpe_encode",
     "kmeans_embed",
     "extract_markdown",
+    # round-5 additions: ExactSubstr span EXCISION (vs the older scoring
+    # op), and real compressed-codec decode (zlib inflate + numpy
+    # unfilter paid inside the timing)
+    "dedup_substring_cut",
+    "dedup_substring_cut_xx",
+    "media_meta_png",
+    "media_features_png",
 ]
 
 
