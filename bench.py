@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     "dedup_substring_cut_xx",
     "media_meta_png",
     "media_features_png",
+    "media_meta_jpeg",
+    "media_features_jpeg",
 ]
 
 

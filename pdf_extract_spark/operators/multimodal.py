@@ -12,15 +12,20 @@ pure numpy from their published specs (no codec libraries in the sandbox):
 - WAV  (RIFF/WAVE, integer PCM, 8/16-bit)
 - Y4M  (YUV4MPEG2 uncompressed video — real per-frame boundaries)
 
-- PNG  (ISO/IEC 15948 — the first COMPRESSED format: zlib inflate of the
-       IDAT stream + per-scanline unfilter in numpy; bit depth 8, color
-       types 0/2/3/4/6, non-interlaced; chunk CRCs validated)
+- PNG  (ISO/IEC 15948 — zlib inflate of the IDAT stream + per-scanline
+       unfilter in numpy; bit depth 8, color types 0/2/3/4/6,
+       non-interlaced; chunk CRCs validated)
+- JPEG (ITU-T T.81 baseline + extended sequential Huffman: marker walk,
+       DQT/DHT from the stream, entropy decode with RSTn restarts,
+       vectorized IDCT, 4:4:4 / 4:2:0 / arbitrary sampling-factor plane
+       assembly, JFIF YCbCr→RGB; progressive/arithmetic/12-bit streams
+       quarantine typed)
 
 plus the legacy deterministic `MMK1` container (kept because the
 driver-gated media queries construct it arithmetically in SQL, and as the
-stand-in for the codecs the sandbox cannot decode in pure stdlib). Other
-compressed formats (JPEG/MP3/H.264) quarantine as `unknown_container` —
-the dispatch point a real deployment extends. Fixture writers for each
+stand-in for the codecs the sandbox cannot decode in pure stdlib). The
+remaining compressed formats (MP3/H.264) quarantine as
+`unknown_container` — the dispatch point a real deployment extends. Fixture writers for each
 real format live in fixtures/media.py (bounded-scope pattern of
 kernels/pdf_extract.py: the decoder handles the full public header
 grammar, tests feed it both our writers' output and corrupt variants).
@@ -370,6 +375,324 @@ def _decode_png(p: bytes) -> tuple[dict | None, str | None]:
             "samples": np.ascontiguousarray(samples)}, None
 
 
+# --- baseline JPEG (ITU-T T.81) ---------------------------------------------
+#
+# The second compressed codec decoded FOR REAL (after PNG): marker walk,
+# DQT/DHT table parse, SOF0/SOF1 frame header, Huffman entropy decode with
+# byte unstuffing and RSTn restart handling, dequantize + de-zigzag, one
+# vectorized einsum IDCT over every block, sampling-factor plane assembly,
+# JFIF YCbCr→RGB. Entropy decoding carries a true bit-serial data
+# dependency (each code's length gates where the next starts), so the
+# symbol loop is per-MCU Python over a 16-bit-prefix lookup table — the
+# same honesty note as the Average/Paeth scanline filters above; everything
+# after the coefficient arrays (IDCT, upsampling, color transform) is whole-
+# corpus numpy. Bounded scope, typed quarantine beyond it: progressive
+# (SOF2) / arithmetic (SOF9+) / 12-bit streams are `unsupported_*`,
+# malformed tables/markers/scans are `bad_*`/`truncated_*`.
+
+_ZIGZAG_JPEG = np.array(
+    [r * 8 + c for d in range(15)
+     for r, c in (((r, d - r) for r in range(max(0, d - 7), min(d, 7) + 1))
+                  if d % 2 else
+                  ((r, d - r) for r in
+                   reversed(range(max(0, d - 7), min(d, 7) + 1))))],
+    dtype=np.int64)
+
+
+def _idct_matrix() -> np.ndarray:
+    a = np.zeros((8, 8))
+    a[0, :] = 1.0 / np.sqrt(8.0)
+    j = np.arange(8)
+    for k in range(1, 8):
+        a[k, :] = 0.5 * np.cos((2 * j + 1) * k * np.pi / 16.0)
+    return a
+
+
+_IDCT_A = _idct_matrix()
+
+
+def _jpeg_huff_lut(bits: bytes, vals: bytes) -> np.ndarray | None:
+    """Canonical Huffman table → flat 2^16 lookup: index = next 16 bits of
+    the stream, value = (code length << 8) | symbol, 0 = invalid prefix.
+    One array read decodes any symbol (max code length is 16)."""
+    lut = np.zeros(1 << 16, dtype=np.int32)
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if k >= len(vals) or code >= (1 << length):
+                return None
+            lo = code << (16 - length)
+            lut[lo:lo + (1 << (16 - length))] = (length << 8) | vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return lut
+
+
+class _JpegBits:
+    """MSB-first reader over one entropy segment (already unstuffed).
+    Peeks pad with 1s past the end (the spec's pad bit); consuming real
+    bits past the end raises EOFError → truncated_jpeg_scan."""
+
+    __slots__ = ("data", "nbits", "pos")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.nbits = len(data) * 8
+        self.pos = 0
+
+    def peek16(self) -> int:
+        byte, off = self.pos >> 3, self.pos & 7
+        chunk = self.data[byte:byte + 3]
+        v = int.from_bytes(chunk + b"\xff" * (3 - len(chunk)), "big")
+        return (v >> (8 - off)) & 0xFFFF
+
+    def take(self, n: int) -> int:
+        if self.pos + n > self.nbits:
+            raise EOFError
+        byte, off = self.pos >> 3, self.pos & 7
+        nbytes = (off + n + 7) >> 3
+        v = int.from_bytes(self.data[byte:byte + nbytes], "big")
+        self.pos += n
+        return (v >> (nbytes * 8 - off - n)) & ((1 << n) - 1)
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    return v - (1 << size) + 1 if v < (1 << (size - 1)) else v
+
+
+def _jpeg_scan_segments(p: bytes, pos: int) -> tuple[list[bytes], int] | None:
+    """Split the entropy-coded data after SOS into RST-delimited segments
+    with FF00 unstuffed; returns (segments, position of the next marker)."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    n = len(p)
+    while pos < n:
+        b = p[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        if pos + 1 >= n:
+            return None
+        m = p[pos + 1]
+        if m == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= m <= 0xD7:
+            segs.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:
+            break
+    segs.append(bytes(cur))
+    return segs, pos
+
+
+def _decode_jpeg(p: bytes) -> tuple[dict | None, str | None]:
+    """Baseline JFIF JPEG → RGB (or gray) samples; see block comment."""
+    n = len(p)
+    pos = 2  # past SOI
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], np.ndarray] = {}
+    frame = None
+    restart = 0
+    while True:
+        if pos + 4 > n:
+            return None, "truncated_jpeg"
+        if p[pos] != 0xFF:
+            return None, "bad_jpeg_marker"
+        while pos < n and p[pos] == 0xFF and pos + 1 < n and p[pos + 1] == 0xFF:
+            pos += 1  # fill bytes
+        marker = p[pos + 1]
+        if marker == 0xD9:  # EOI before any scan
+            return None, "missing_jpeg_scan"
+        seglen, = struct.unpack_from(">H", p, pos + 2)
+        if seglen < 2 or pos + 2 + seglen > n:
+            return None, "truncated_jpeg"
+        body = p[pos + 4:pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                width_b = 2 if pq == 1 else 1
+                if pq > 1 or tq > 3 or i + 1 + 64 * width_b > len(body):
+                    return None, "bad_jpeg_dqt"
+                raw = np.frombuffer(
+                    body, ">u2" if pq else np.uint8, 64, i + 1)
+                tab = np.zeros(64, np.int64)
+                tab[_ZIGZAG_JPEG] = raw
+                qt[tq] = tab
+                i += 1 + 64 * width_b
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i + 17 <= len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                bits = body[i + 1:i + 17]
+                nv = sum(bits)
+                if tc > 1 or th > 3 or i + 17 + nv > len(body):
+                    return None, "bad_jpeg_dht"
+                lut = _jpeg_huff_lut(bits, body[i + 17:i + 17 + nv])
+                if lut is None:
+                    return None, "bad_jpeg_dht"
+                huff[(tc, th)] = lut
+                i += 17 + nv
+            if i != len(body):
+                return None, "bad_jpeg_dht"
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            if len(body) < 6:
+                return None, "bad_jpeg_sof"
+            prec = body[0]
+            h, w = struct.unpack_from(">HH", body, 1)
+            nc = body[5]
+            if prec != 8:
+                return None, "unsupported_jpeg_precision"
+            if w == 0 or h == 0 or nc not in (1, 3) or len(body) != 6 + 3 * nc:
+                return None, "bad_jpeg_sof"
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                ch_, cv = hv >> 4, hv & 15
+                if not (1 <= ch_ <= 4 and 1 <= cv <= 4):
+                    return None, "unsupported_jpeg_sampling"
+                comps.append((cid, ch_, cv, tq))
+            frame = (w, h, comps)
+        elif marker == 0xC2:
+            return None, "unsupported_jpeg_progressive"
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            return None, "unsupported_jpeg_codec"
+        elif marker == 0xDD:  # DRI
+            if len(body) != 2:
+                return None, "bad_jpeg_dri"
+            restart, = struct.unpack(">H", body)
+        elif marker == 0xDA:  # SOS
+            break
+        elif 0xE0 <= marker <= 0xEF or marker == 0xFE:
+            continue  # APPn / COM
+        else:
+            return None, "bad_jpeg_marker"
+    if frame is None:
+        return None, "missing_jpeg_sof"
+    w, h, comps = frame
+    ns = body[0] if body else 0
+    if len(body) != 1 + 2 * ns + 3:
+        return None, "bad_jpeg_sos"
+    if ns != len(comps):
+        # baseline permits non-interleaved multi-scan files; they are rare
+        # in crawl data and out of this kernel's bounded scope
+        return None, "unsupported_jpeg_multiscan"
+    scan_tabs = {}
+    for s in range(ns):
+        cs, td_ta = body[1 + 2 * s], body[2 + 2 * s]
+        scan_tabs[cs] = (td_ta >> 4, td_ta & 15)
+    if body[1 + 2 * ns:] != b"\x00\x3f\x00":
+        return None, "unsupported_jpeg_scan_params"
+    got = _jpeg_scan_segments(p, pos)
+    if got is None:
+        return None, "truncated_jpeg_scan"
+    segs, _pos = got
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    n_mcu = mcux * mcuy
+    tables = []
+    for cid, ch_, cv, tq in comps:
+        if cid not in scan_tabs:
+            return None, "bad_jpeg_sos"
+        td, ta = scan_tabs[cid]
+        if tq not in qt or (0, td) not in huff or (1, ta) not in huff:
+            return None, "missing_jpeg_table"
+        tables.append((huff[(0, td)], huff[(1, ta)], qt[tq]))
+    coefs = [np.zeros((mcuy * cv * mcux * ch_, 64), np.int64)
+             for _, ch_, cv, _ in comps]
+
+    seg_i = 0
+    bits = _JpegBits(segs[0])
+    pred = [0] * len(comps)
+    mcu_in_seg = 0
+    try:
+        for mcu in range(n_mcu):
+            if restart and mcu_in_seg == restart and mcu:
+                seg_i += 1
+                if seg_i >= len(segs):
+                    return None, "truncated_jpeg_scan"
+                bits = _JpegBits(segs[seg_i])
+                pred = [0] * len(comps)
+                mcu_in_seg = 0
+            my, mx = divmod(mcu, mcux)
+            for ci, (_, ch_, cv, _) in enumerate(comps):
+                dc_lut, ac_lut, q = tables[ci]
+                for by in range(cv):
+                    for bx in range(ch_):
+                        block = coefs[ci][
+                            (my * cv + by) * mcux * ch_ + mx * ch_ + bx]
+                        v = int(dc_lut[bits.peek16()])
+                        if v == 0:
+                            return None, "bad_jpeg_huffman"
+                        bits.take(v >> 8)
+                        size = v & 0xFF
+                        if size:
+                            if size > 15:
+                                return None, "bad_jpeg_huffman"
+                            pred[ci] += _jpeg_extend(bits.take(size), size)
+                        block[0] = pred[ci] * q[0]
+                        k = 1
+                        while k < 64:
+                            v = int(ac_lut[bits.peek16()])
+                            if v == 0:
+                                return None, "bad_jpeg_huffman"
+                            bits.take(v >> 8)
+                            rs = v & 0xFF
+                            r, size = rs >> 4, rs & 15
+                            if size == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                return None, "bad_jpeg_coef_index"
+                            zz = int(_ZIGZAG_JPEG[k])
+                            block[zz] = (_jpeg_extend(bits.take(size), size)
+                                         * q[zz])
+                            k += 1
+            mcu_in_seg += 1
+    except EOFError:
+        return None, "truncated_jpeg_scan"
+
+    planes = []
+    for ci, (_, ch_, cv, _) in enumerate(comps):
+        # blocks were de-zigzagged at store time (block[zz] above): the
+        # (n, 64) rows are already natural raster order
+        blocks = np.einsum("ij,njk,kl->nil", _IDCT_A.T,
+                           coefs[ci].reshape(-1, 8, 8).astype(np.float64),
+                           _IDCT_A)
+        px = np.clip(np.round(blocks + 128.0), 0, 255).astype(np.uint8)
+        plane = (px.reshape(mcuy * cv, mcux * ch_, 8, 8)
+                 .transpose(0, 2, 1, 3)
+                 .reshape(mcuy * cv * 8, mcux * ch_ * 8))
+        # upsample to full grid, crop to the frame dims
+        plane = plane.repeat(vmax // cv, axis=0).repeat(hmax // ch_, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        samples = planes[0].reshape(-1)
+    else:
+        y = planes[0].astype(np.float64)
+        cb = planes[1].astype(np.float64) - 128.0
+        cr = planes[2].astype(np.float64) - 128.0
+        rgb = np.stack([y + 1.402 * cr,
+                        y - 0.344136286 * cb - 0.714136286 * cr,
+                        y + 1.772 * cb], axis=-1)
+        samples = np.clip(np.round(rgb), 0, 255).astype(np.uint8).reshape(-1)
+    return {"kind": "image", "width": int(w), "height": int(h),
+            "sample_rate": 0, "n_frames": 1,
+            "samples": np.ascontiguousarray(samples)}, None
+
+
 def decode_payload_media(payload: bytes) -> tuple[dict | None, str | None]:
     """Magic-byte dispatch over the supported container formats. Unknown
     magic → quarantine row, mirroring the extract pipeline's error
@@ -386,6 +709,8 @@ def decode_payload_media(payload: bytes) -> tuple[dict | None, str | None]:
         return _decode_y4m(payload)
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     if payload[:4] == _MAGIC:
         if len(payload) < 21:
             return None, "empty_or_short_payload"

@@ -915,7 +915,11 @@ def dedup_simhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial SUM/COUNT aggregation (never a pair expansion);
     candidates come from the band groupBy + capped in-array expansion
     (the dedup_minhash_lsh discipline); the Hamming verify is a narrow
-    map over candidate rows only. No cross join anywhere."""
+    map over candidate rows only. No cross join anywhere. NOTE: this is
+    the ORACLE TWIN — at production scale run text_q.dedup_simhash
+    instead, which computes the signature in one vectorized kernel pass
+    and skips this query's per-doc ×64 bit explode (the dominant cost
+    here, ~4 s at sf0.1 vs ~1 s for the kernel)."""
     exact = (tbl(spark, sf_dir, "documents")
              .filter(F.col("doc_id") % 10 == 5)
              .select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text"))

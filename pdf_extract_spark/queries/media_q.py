@@ -391,3 +391,100 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import media_features as mf
 
     return mf(_media_df(spark, sf_dir))
+
+
+_JPEG_W, _JPEG_H = "doc_id % 6 + 1", "doc_id % 4 + 1"
+
+
+def _jpeg_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (media_id, payload) of REAL baseline JPEGs, one per
+    doc: dims and the constant pixel value are doc_id arithmetic, the
+    layout cycles gray / YCbCr 4:4:4 / YCbCr 4:2:0 (so entropy decode,
+    chroma upsampling and the color transform all sit under the gate),
+    and doc_id % 13 == 0 rewrites the SOF0 marker to SOF2 so the decoder
+    must quarantine the stream as progressive. Synthesis is fixture
+    generation inside an Arrow batch (fixtures/media.make_jpeg), not a
+    measured kernel."""
+    import pandas as pd
+
+    from ..fixtures.media import make_jpeg
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                mode = did % 3
+                p = make_jpeg(did % 6 + 1, did % 4 + 1,
+                              gray=(mode == 0),
+                              subsampling="420" if mode == 2 else "444",
+                              value=did % 200 + 20)
+                if did % 13 == 0:
+                    i = p.find(b"\xff\xc0")
+                    p = p[:i + 1] + b"\xc2" + p[i + 2:]
+                ids.append(str(did))
+                payloads.append(p)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(gen, schema="media_id string, payload binary")
+
+
+@register(
+    "media_meta_jpeg",
+    oracle=f"""
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CASE WHEN doc_id % 13 = 0 THEN NULL ELSE 'image' END AS kind,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN 0
+                     ELSE {_JPEG_W} END AS INTEGER) AS width,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN 0
+                     ELSE {_JPEG_H} END AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN 0
+                     ELSE 1 END AS INTEGER) AS n_frames,
+           CASE WHEN doc_id % 13 = 0 THEN 'unsupported_jpeg_progressive'
+                ELSE NULL END AS error
+    FROM documents
+    """,
+)
+def media_meta_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-JPEG decode under the value-exact gate: real T.81 streams
+    (Huffman entropy coding, DQT/DHT carried in-stream, gray/444/420
+    layouts) round-trip through the magic-dispatch decoder
+    (operators/multimodal._decode_jpeg); the oracle states the typed
+    metadata arithmetically, including the SOF2-rewritten rows that must
+    quarantine as unsupported_jpeg_progressive. n_bytes is projected
+    away — entropy-coded stream length is not arithmetic — and stays
+    pytest-covered."""
+    from ..operators.multimodal import decode_media
+
+    return (decode_media(_jpeg_media_df(spark, sf_dir))
+            .select("media_id", "kind", "width", "height", "n_frames",
+                    "error"))
+
+
+@register(
+    "media_features_jpeg",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CASE WHEN doc_id % 13 = 0 THEN NULL
+                ELSE list_transform(range(0, 8),
+                       i -> CAST(CASE WHEN i = (doc_id % 200 + 20) // 32
+                                      THEN 1.0 ELSE 0.0 END AS REAL))
+           END AS feature,
+           CASE WHEN doc_id % 13 = 0 THEN 'unsupported_jpeg_progressive'
+                ELSE NULL END AS error
+    FROM documents
+    """,
+)
+def media_features_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-exact proof that the JPEG path reconstructs the PIXELS —
+    Huffman decode, dequantization, IDCT, chroma upsampling and the
+    YCbCr→RGB transform all together: every valid payload encodes a
+    constant-value image (all-ones quant tables make it DC-only and
+    exact; tests/test_multimodal.py proves the premise), so the
+    L1-normalized 8-bin histogram must put all mass in bin v >> 5. One
+    wrong sample byte after any stage moves mass and fails the hash
+    compare."""
+    from ..operators.multimodal import media_features as mf
+
+    return mf(_jpeg_media_df(spark, sf_dir))

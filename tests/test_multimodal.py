@@ -87,9 +87,9 @@ def real_media_sdf(spark):
         ("cut_ppm", "image", bytearray(make_ppm(11, 7)[:-4])),
         ("cut_wav", "audio", bytearray(make_wav(16000, 480)[:-3])),
         ("cut_y4m", "video", bytearray(make_y4m(16, 12, 3)[:-10])),
-        # JPEG stays the representative undecodable compressed codec
-        # (PNG is decoded for real since round 5)
-        ("jpg", "image", bytearray(b"\xff\xd8\xff\xe0" + b"\x00" * 32)),
+        # MP3 stays the representative undecodable compressed codec
+        # (PNG and JPEG are decoded for real since round 5)
+        ("mp3", "audio", bytearray(b"ID3\x04\x00\x00" + b"\x00" * 32)),
     ]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -113,7 +113,7 @@ def test_real_formats_decode_metadata(real_media_sdf):
     assert out["cut_ppm"]["error"] == "truncated_ppm_pixels"
     assert out["cut_wav"]["error"] == "truncated_wav_chunk"
     assert out["cut_y4m"]["error"] == "truncated_y4m_frame"
-    assert out["jpg"]["error"] == "unknown_container"
+    assert out["mp3"]["error"] == "unknown_container"
 
 
 def test_bmp_orientation_and_padding_invariance():
@@ -260,6 +260,154 @@ def test_png_through_spark_decode(spark):
     feats = {r["media_id"]: r for r in media_features(sdf).collect()}
     assert len(feats["png0"]["feature"]) == 8
     assert feats["bad0"]["feature"] is None
+    a = sorted(map(tuple, decode_media(sdf, num_partitions=2).collect()))
+    b = sorted(map(tuple, decode_media(sdf, num_partitions=3).collect()))
+    assert a == b
+
+# ---------------------------------------------------------------- JPEG
+
+def test_jpeg_constant_images_reconstruct_exactly():
+    """With all-ones quant tables a constant image is DC-only and the
+    FDCT→quantize→Huffman→decode→IDCT loop reproduces every sample byte
+    exactly, in all three layouts (gray, YCbCr 4:4:4, YCbCr 4:2:0 with
+    non-multiple-of-16 dims) — the arithmetic premise of the
+    media_*_jpeg oracles."""
+    import numpy as np
+
+    from pdf_extract_spark.fixtures.media import make_jpeg
+    from pdf_extract_spark.operators.multimodal import decode_payload_media
+
+    for v in (20, 77, 128, 219):
+        for kwargs, nch in ((dict(gray=True), 1),
+                            (dict(subsampling="444"), 3),
+                            (dict(subsampling="420"), 3)):
+            meta, err = decode_payload_media(make_jpeg(11, 5, value=v,
+                                                       **kwargs))
+            assert err is None, (v, kwargs, err)
+            assert (meta["kind"], meta["width"], meta["height"],
+                    meta["n_frames"]) == ("image", 11, 5, 1)
+            assert meta["samples"].shape == (11 * 5 * nch,)
+            assert (meta["samples"] == v).all(), (v, kwargs)
+
+
+def test_jpeg_pattern_roundtrip_bounds():
+    """Arbitrary-content round trips: near-lossless with unit quant
+    tables (max error 1 from DCT float rounding), bounded with the
+    Annex K example tables (quantization error only — no structural
+    drift), both through restart-marker streams."""
+    import numpy as np
+
+    from pdf_extract_spark.fixtures.media import _pattern, make_jpeg
+    from pdf_extract_spark.operators.multimodal import decode_payload_media
+
+    px = _pattern(40 * 24, 5).reshape(24, 40)
+    for ri in (0, 1, 3):
+        meta, err = decode_payload_media(
+            make_jpeg(40, 24, gray=True, pixels=px, restart_interval=ri))
+        assert err is None, (ri, err)
+        got = meta["samples"].reshape(24, 40).astype(int)
+        assert np.abs(got - px.astype(int)).max() <= 1, ri
+
+    # Annex K tables quantize high frequencies coarsely (LCG noise would
+    # legitimately lose ~27 mean abs), so the lossy-path assertion uses a
+    # smooth gradient, where quantization error must stay within a few
+    # code values — scrambled plane assembly or zigzag would blow it up
+    y, x = np.mgrid[0:24, 0:32]
+    ramp = (40 + y * 2 + x * 3).astype(np.float64)
+    rgb = np.stack([ramp, ramp + 20, ramp + 40], axis=-1).astype(np.uint8)
+    for sub in ("444", "420"):
+        meta, err = decode_payload_media(
+            make_jpeg(32, 24, pixels=rgb, subsampling=sub,
+                      quality_tables=True))
+        assert err is None, (sub, err)
+        got = meta["samples"].reshape(24, 32, 3).astype(int)
+        diff = np.abs(got - rgb.astype(int))
+        assert diff.max() <= 6 and diff.mean() < 3.0, \
+            (sub, diff.mean(), diff.max())
+
+
+def test_jpeg_quarantine_taxonomy():
+    """Typed quarantine for every unsupported/malformed class — the
+    extract pipeline's error discipline, never an exception."""
+    import struct
+
+    from pdf_extract_spark.fixtures.media import make_jpeg
+    from pdf_extract_spark.operators.multimodal import decode_payload_media
+
+    base = make_jpeg(16, 16, gray=True, value=50)
+    sof = base.find(b"\xff\xc0")
+    sos = base.find(b"\xff\xda")
+    slen = struct.unpack_from(">H", base, sos + 2)[0]
+
+    def patched(off, val):
+        b = bytearray(base)
+        b[off] = val
+        return bytes(b)
+
+    # strip every DHT segment → the scan references missing tables
+    no_dht, pos = bytearray(base[:2]), 2
+    while pos < len(base):
+        m = base[pos + 1]
+        if m == 0xDA:
+            no_dht += base[pos:]
+            break
+        ln = struct.unpack_from(">H", base, pos + 2)[0]
+        if m != 0xC4:
+            no_dht += base[pos:pos + 2 + ln]
+        pos += 2 + ln
+
+    cases = {
+        patched(sof + 1, 0xC2): "unsupported_jpeg_progressive",
+        patched(sof + 1, 0xC9): "unsupported_jpeg_codec",
+        patched(sof + 4, 12): "unsupported_jpeg_precision",
+        base[:len(base) // 3]: "truncated_jpeg",
+        base[:sos + 14]: "truncated_jpeg_scan",
+        bytes(no_dht): "missing_jpeg_table",
+        b"\xff\xd8\xff\xd9" + b"\x00" * 10: "missing_jpeg_scan",
+        b"\xff\xd8" + b"\x00" * 20: "bad_jpeg_marker",
+    }
+    for payload, want in cases.items():
+        meta, err = decode_payload_media(payload)
+        assert meta is None and err == want, (want, err)
+
+    # corrupt scan bytes: garbage pixels are acceptable, exceptions and
+    # silent misdecodes of the ERROR field are not
+    scan0 = sos + 2 + slen
+    for off in range(scan0, min(scan0 + 8, len(base) - 2)):
+        b = bytearray(base)
+        b[off] ^= 0x5A
+        meta, err = decode_payload_media(bytes(b))
+        assert (meta is None) == (err is not None)
+        if err is not None:
+            assert err in ("bad_jpeg_huffman", "truncated_jpeg_scan",
+                           "bad_jpeg_coef_index"), err
+
+
+def test_jpeg_through_spark_decode(spark):
+    """JPEG payloads flow through the same Arrow-batched decode_media /
+    media_features operators as every other container, partition-
+    invariantly, alongside the other formats in one batch."""
+    from pdf_extract_spark.fixtures.media import make_jpeg, make_png
+    from pdf_extract_spark.operators.multimodal import (
+        decode_media, media_features)
+
+    rows = [("j444", bytearray(make_jpeg(9, 6, value=100))),
+            ("j420", bytearray(make_jpeg(10, 8, value=40,
+                                         subsampling="420"))),
+            ("jgray", bytearray(make_jpeg(7, 7, gray=True, value=200))),
+            ("png0", bytearray(make_png(8, 5, seed=1))),
+            ("jbad", bytearray(make_jpeg(4, 4, gray=True, value=9)[:20]))]
+    sdf = spark.createDataFrame(rows, "media_id string, payload binary")
+    out = {r["media_id"]: r for r in decode_media(sdf).collect()}
+    for mid, w, h in (("j444", 9, 6), ("j420", 10, 8), ("jgray", 7, 7)):
+        assert (out[mid]["kind"], out[mid]["width"],
+                out[mid]["height"]) == ("image", w, h), mid
+    assert out["jbad"]["error"] == "truncated_jpeg"
+    feats = {r["media_id"]: r for r in media_features(sdf).collect()}
+    # constant value v → all histogram mass in bin v >> 5
+    assert feats["j444"]["feature"][100 >> 5] == 1.0
+    assert feats["jgray"]["feature"][200 >> 5] == 1.0
+    assert feats["jbad"]["feature"] is None
     a = sorted(map(tuple, decode_media(sdf, num_partitions=2).collect()))
     b = sorted(map(tuple, decode_media(sdf, num_partitions=3).collect()))
     assert a == b
