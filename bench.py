@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "media_features_png",
     "media_meta_jpeg",
     "media_features_jpeg",
+    "media_meta_gif",
+    "media_features_gif",
 ]
 
 

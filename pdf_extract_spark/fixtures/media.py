@@ -451,6 +451,138 @@ def make_jpeg(width: int, height: int, seed: int = 0, gray: bool = False,
     return b"".join(out)
 
 
+# --- GIF writer (GIF87a/GIF89a) ---------------------------------------------
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_lzw_encode(indices: bytes, mcs: int) -> bytes:
+    """Real GIF LZW: dictionary compression with variable code width.
+    The emission width must track the DECODER's table (which lags the
+    encoder's by one entry — it creates each entry only when it reads
+    the following code), so the width bump here is driven by a simulated
+    decoder table size, not the encoder dictionary. When the dictionary
+    fills (4096) a Clear code resets both sides."""
+    clear = 1 << mcs
+    end = clear + 1
+    out = bytearray()
+    acc = nacc = 0
+    width = mcs + 1
+    dec_size = clear + 2
+    n_in_seg = 0
+
+    def put(code: int, is_data: bool) -> None:
+        nonlocal acc, nacc, width, dec_size, n_in_seg
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+        if is_data:
+            # decoder adds one entry per data code after a segment's first
+            n_in_seg += 1
+            if n_in_seg >= 2 and dec_size < 4096:
+                dec_size += 1
+                if dec_size == (1 << width) and width < 12:
+                    width += 1
+
+    def reset() -> None:
+        nonlocal width, dec_size, n_in_seg
+        width = mcs + 1
+        dec_size = clear + 2
+        n_in_seg = 0
+
+    put(clear, False)
+    reset()
+    dictionary = {bytes([i]): i for i in range(clear)}
+    next_code = clear + 2
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in dictionary:
+            w = wk
+            continue
+        put(dictionary[w], True)
+        if next_code < 4096:
+            dictionary[wk] = next_code
+            next_code += 1
+        else:
+            put(clear, False)
+            reset()
+            dictionary = {bytes([i]): i for i in range(clear)}
+            next_code = clear + 2
+        w = bytes([b])
+    if w:
+        put(dictionary[w], True)
+    put(end, False)
+    if nacc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_frame_indices(width: int, height: int, seed: int,
+                       palette_size: int, value: int | None) -> np.ndarray:
+    if value is not None:
+        return np.zeros(height * width, np.uint8)
+    return (_pattern(height * width, seed) % palette_size).astype(np.uint8)
+
+
+def make_gif(width: int, height: int, n_frames: int = 1, seed: int = 0,
+             value: int | None = None, palette_size: int = 16,
+             interlace: bool = False, delay_cs: int = 4,
+             version: bytes = b"89a") -> bytes:
+    """GIF87a/89a with a real LZW-compressed index stream per frame and a
+    global color table. `value` puts (v, v, v) at palette slot 0 and all
+    indices there, so decoded content is arithmetically predictable;
+    otherwise indices and palette come from the LCG pattern (per-frame
+    seeds so animation frames differ). `interlace` stores rows in the
+    4-pass order; n_frames > 1 emits GCE delay blocks and multiple
+    full-canvas image descriptors (an animation)."""
+    ctbits = max(1, (palette_size - 1).bit_length())
+    n_entries = 1 << ctbits
+    pal = np.zeros((n_entries, 3), np.uint8)
+    pat = _pattern(3 * palette_size, seed + 7).reshape(-1, 3)
+    pal[:palette_size] = pat
+    if value is not None:
+        pal[0] = value
+    out = [b"GIF" + version, struct.pack("<HH", width, height),
+           bytes([0x80 | (ctbits - 1), 0, 0]), pal.tobytes()]
+    mcs = max(2, ctbits)
+    for f in range(n_frames):
+        if n_frames > 1:
+            out.append(b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs)
+                       + b"\x00\x00")
+        rows = _gif_frame_indices(width, height, seed + f * 97,
+                                  palette_size, value).reshape(height, width)
+        flags = 0
+        if interlace:
+            order = np.concatenate(
+                [np.arange(s, height, st) for s, st in _GIF_INTERLACE])
+            rows = rows[order]
+            flags |= 0x40
+        out.append(b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+                   + bytes([flags]) + bytes([mcs]))
+        data = _gif_lzw_encode(rows.reshape(-1).tobytes(), mcs)
+        for i in range(0, len(data), 255):
+            chunk = data[i:i + 255]
+            out.append(bytes([len(chunk)]) + chunk)
+        out.append(b"\x00")
+    out.append(b"\x3b")
+    return b"".join(out)
+
+
+def gif_expected_samples(width: int, height: int, n_frames: int = 1,
+                         seed: int = 0, palette_size: int = 16) -> np.ndarray:
+    """The RGB bytes make_gif encodes in pattern mode, frame-concatenated
+    in display row order — the decoder's round-trip ground truth."""
+    pal = _pattern(3 * palette_size, seed + 7).reshape(-1, 3)
+    frames = [pal[_gif_frame_indices(width, height, seed + f * 97,
+                                     palette_size, None)].reshape(-1)
+              for f in range(n_frames)]
+    return np.concatenate(frames)
+
+
 def make_y4m(width: int, height: int, n_frames: int, seed: int = 0,
              fps: tuple[int, int] = (25, 1)) -> bytes:
     """YUV4MPEG2 stream, C420 planar (frame size w*h*3/2). Each frame's

@@ -20,6 +20,9 @@ pure numpy from their published specs (no codec libraries in the sandbox):
        vectorized IDCT, 4:4:4 / 4:2:0 / arbitrary sampling-factor plane
        assembly, JFIF YCbCr→RGB; progressive/arithmetic/12-bit streams
        quarantine typed)
+- GIF  (87a/89a: variable-width LZW with clear/end codes and deferred
+       clear, global/local color tables, 4-pass interlace; multi-frame
+       animations decode as video-kind rows with true frame boundaries)
 
 plus the legacy deterministic `MMK1` container (kept because the
 driver-gated media queries construct it arithmetically in SQL, and as the
@@ -693,6 +696,189 @@ def _decode_jpeg(p: bytes) -> tuple[dict | None, str | None]:
             "samples": np.ascontiguousarray(samples)}, None
 
 
+# --- GIF (GIF87a/GIF89a, CompuServe spec / W3C note) -------------------------
+#
+# The third real compressed codec, and the only ANIMATED image format in
+# scope: variable-width LSB-first LZW with clear/end codes, deferred-clear
+# table-full behavior and the GIF "early change" width bump; global and
+# local color tables; Adam-free 4-pass interlace reorder (numpy); multiple
+# image descriptors → a video-kind row with TRUE frame boundaries, so
+# animated GIFs flow through the same sample_frames machinery as Y4M.
+# LZW symbol decode is bit-serial per payload (the PNG-Paeth/JPEG-Huffman
+# honesty note); palette expansion and interlace mapping are numpy.
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_lzw_decode(data: bytes, mcs: int, expected: int) -> bytes | None:
+    """GIF-flavor LZW: initial code width mcs+1, clear = 1<<mcs, end =
+    clear+1, width grows when the table reaches 1<<width (cap 12, then
+    deferred clear — entries stop being added), decoder adds one entry
+    per code read after the first of each clear segment. Returns exactly
+    `expected` index bytes or None on any malformed condition."""
+    if not 2 <= mcs <= 11:
+        return None
+    clear = 1 << mcs
+    end = clear + 1
+    literals = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(literals)
+    width = mcs + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos, total = 0, len(data) * 8
+    while True:
+        if bitpos + width > total:
+            return None  # ran out before the end code
+        byte, off = bitpos >> 3, bitpos & 7
+        chunk = int.from_bytes(data[byte:byte + 3], "little")
+        code = (chunk >> off) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = list(literals)
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= clear:
+                return None  # first code of a segment must be a literal
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]
+            else:
+                return None
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+        out += entry
+        if len(out) > expected:
+            return None
+        prev = entry
+    return bytes(out) if len(out) == expected else None
+
+
+def _gif_subblocks(p: bytes, pos: int) -> tuple[bytes, int] | None:
+    """Concatenate a GIF sub-block chain; returns (data, pos after the
+    0x00 terminator) or None if truncated."""
+    parts = []
+    n = len(p)
+    while True:
+        if pos >= n:
+            return None
+        ln = p[pos]
+        pos += 1
+        if ln == 0:
+            return b"".join(parts), pos
+        if pos + ln > n:
+            return None
+        parts.append(p[pos:pos + ln])
+        pos += ln
+
+
+def _decode_gif(p: bytes) -> tuple[dict | None, str | None]:
+    """GIF87a/89a → RGB frames; see block comment. Bounded scope notes:
+    frames are emitted as their OWN rectangles expanded through their
+    palette (no canvas compositing of partial frames — fixture frames
+    are full-canvas; a real deployment composites per the GCE disposal
+    method), and the transparent index renders as its palette color."""
+    n = len(p)
+    if n < 13:
+        return None, "truncated_gif"
+    w, h = struct.unpack_from("<HH", p, 6)
+    packed, _bg, _aspect = p[10], p[11], p[12]
+    if w == 0 or h == 0:
+        return None, "bad_gif_dims"
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        sz = 3 * (2 << (packed & 7))
+        if pos + sz > n:
+            return None, "truncated_gif"
+        gct = np.frombuffer(p, np.uint8, sz, pos).reshape(-1, 3)
+        pos += sz
+    frames: list[np.ndarray] = []
+    delay_cs = 0
+    while True:
+        if pos >= n:
+            return None, "truncated_gif"
+        block = p[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            if pos >= n:
+                return None, "truncated_gif"
+            label = p[pos]
+            got = _gif_subblocks(p, pos + 1)
+            if got is None:
+                return None, "truncated_gif"
+            body, pos = got
+            if label == 0xF9 and len(body) >= 3:  # GCE
+                delay_cs, = struct.unpack_from("<H", body, 1)
+            continue
+        if block != 0x2C:
+            return None, "bad_gif_block"
+        if pos + 9 > n:
+            return None, "truncated_gif"
+        fx, fy, fw, fh = struct.unpack_from("<HHHH", p, pos)
+        fpacked = p[pos + 8]
+        pos += 9
+        if fw == 0 or fh == 0 or fx + fw > w or fy + fh > h:
+            return None, "bad_gif_dims"
+        pal = gct
+        if fpacked & 0x80:
+            sz = 3 * (2 << (fpacked & 7))
+            if pos + sz > n:
+                return None, "truncated_gif"
+            pal = np.frombuffer(p, np.uint8, sz, pos).reshape(-1, 3)
+            pos += sz
+        if pal is None:
+            return None, "missing_gif_palette"
+        if pos >= n:
+            return None, "truncated_gif"
+        mcs = p[pos]
+        got = _gif_subblocks(p, pos + 1)
+        if got is None:
+            return None, "truncated_gif"
+        data, pos = got
+        idx = _gif_lzw_decode(data, mcs, fw * fh)
+        if idx is None:
+            return None, "bad_gif_lzw"
+        ind = np.frombuffer(idx, np.uint8)
+        if int(ind.max(initial=0)) >= len(pal):
+            return None, "bad_gif_palette_index"
+        rows = ind.reshape(fh, fw)
+        if fpacked & 0x40:  # 4-pass interlace: stored order → display order
+            order = np.concatenate(
+                [np.arange(start, fh, step)
+                 for start, step in _GIF_INTERLACE]).astype(np.int64)
+            display = np.empty_like(rows)
+            display[order] = rows
+            rows = display
+        frames.append(pal[rows.reshape(-1)].reshape(-1))
+    if not frames:
+        return None, "missing_gif_frame"
+    samples = np.concatenate(frames)
+    bounds, off = [], 0
+    for f in frames:
+        bounds.append((off, len(f)))
+        off += len(f)
+    if len(frames) == 1:
+        return {"kind": "image", "width": int(w), "height": int(h),
+                "sample_rate": 0, "n_frames": 1,
+                "samples": np.ascontiguousarray(samples)}, None
+    fps = round(100 / delay_cs) if delay_cs else 0
+    return {"kind": "video", "width": int(w), "height": int(h),
+            "sample_rate": fps, "n_frames": len(frames),
+            "samples": np.ascontiguousarray(samples),
+            "frame_bounds": bounds}, None
+
+
 def decode_payload_media(payload: bytes) -> tuple[dict | None, str | None]:
     """Magic-byte dispatch over the supported container formats. Unknown
     magic → quarantine row, mirroring the extract pipeline's error
@@ -711,6 +897,8 @@ def decode_payload_media(payload: bytes) -> tuple[dict | None, str | None]:
         return _decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         return _decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
     if payload[:4] == _MAGIC:
         if len(payload) < 21:
             return None, "empty_or_short_payload"

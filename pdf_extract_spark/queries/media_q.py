@@ -488,3 +488,127 @@ def media_features_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import media_features as mf
 
     return mf(_jpeg_media_df(spark, sf_dir))
+
+
+_GIF_W, _GIF_H = "doc_id % 6 + 1", "doc_id % 4 + 1"
+_GIF_NFR = "(doc_id % 4) * 3 + 1"  # 1 (still) / 4 / 7 / 10 (animated)
+
+
+def _gif_media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (media_id, payload) of REAL LZW-compressed GIFs, one
+    per doc: dims/frame-count/constant pixel value are doc_id arithmetic
+    ((doc_id % 4)·3 + 1 frames, so stills and animations interleave and
+    the video branch is exercised), palette slot 0 carries the per-doc
+    value, and doc_id % 13 == 0 drops the final two bytes (sub-block
+    terminator + trailer) so the decoder must quarantine the chain as
+    truncated. Synthesis is fixture generation inside an Arrow batch
+    (fixtures/media.make_gif), not a measured kernel."""
+    import pandas as pd
+
+    from ..fixtures.media import make_gif
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                p = make_gif(did % 6 + 1, did % 4 + 1,
+                             n_frames=(did % 4) * 3 + 1,
+                             value=did % 200 + 20)
+                if did % 13 == 0:
+                    p = p[:-2]
+                ids.append(str(did))
+                payloads.append(p)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(gen, schema="media_id string, payload binary")
+
+
+@register(
+    "media_meta_gif",
+    oracle=f"""
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CASE WHEN doc_id % 13 = 0 THEN NULL
+                WHEN doc_id % 4 = 0 THEN 'image'
+                ELSE 'video' END AS kind,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN 0
+                     ELSE {_GIF_W} END AS INTEGER) AS width,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN 0
+                     ELSE {_GIF_H} END AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 13 = 0 OR doc_id % 4 = 0 THEN 0
+                     ELSE 25 END AS INTEGER) AS sample_rate,
+           CAST(CASE WHEN doc_id % 13 = 0 THEN 0
+                     ELSE {_GIF_NFR} END AS INTEGER) AS n_frames,
+           CASE WHEN doc_id % 13 = 0 THEN 'truncated_gif'
+                ELSE NULL END AS error
+    FROM documents
+    """,
+)
+def media_meta_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF decode under the value-exact gate: real LZW streams round-trip
+    through the magic-dispatch decoder (operators/multimodal._decode_gif);
+    the oracle states kind (still image vs multi-frame video), dims,
+    GCE-derived frame rate (delay 4 cs → 25 fps), frame count and the
+    truncated-chain quarantine arithmetically. n_bytes is projected away
+    (LZW stream length is not arithmetic) and stays pytest-covered."""
+    from ..operators.multimodal import decode_media
+
+    return (decode_media(_gif_media_df(spark, sf_dir))
+            .select("media_id", "kind", "width", "height", "sample_rate",
+                    "n_frames", "error"))
+
+
+@register(
+    "media_features_gif",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CASE WHEN doc_id % 13 = 0 THEN NULL
+                ELSE list_transform(range(0, 8),
+                       i -> CAST(CASE WHEN i = (doc_id % 200 + 20) // 32
+                                      THEN 1.0 ELSE 0.0 END AS REAL))
+           END AS feature,
+           CASE WHEN doc_id % 13 = 0 THEN 'truncated_gif'
+                ELSE NULL END AS error
+    FROM documents
+    """,
+)
+def media_features_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-exact proof that LZW decompression + palette expansion
+    reconstruct the PIXELS across every frame: all indices point at
+    palette slot 0 = (v, v, v), so the L1-normalized histogram of the
+    frame-concatenated samples must put all mass in bin v >> 5 — a
+    single wrong index, palette byte or frame boundary moves mass and
+    fails the hash compare."""
+    from ..operators.multimodal import media_features as mf
+
+    return mf(_gif_media_df(spark, sf_dir))
+
+
+@register(
+    "media_frames_gif",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id,
+             ({_GIF_W}) * ({_GIF_H}) * 3 AS fsize,
+             {_GIF_NFR} AS frames
+      FROM documents WHERE doc_id % 13 <> 0 AND doc_id % 4 <> 0)
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(i.range AS INTEGER) AS frame_idx,
+           CAST(i.range * fsize AS BIGINT) AS frame_off
+    FROM v CROSS JOIN range(0, 12) i
+    WHERE i.range % 4 = 0 AND i.range < frames
+    """,
+)
+def media_frames_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED-GIF frame sampling under the value-exact gate: the same
+    sample_frames operator that walks Y4M streams must address the GIF
+    decoder's true frame boundaries — every 4th frame at offsets of
+    multiples of w·h·3 RGB bytes — with stills and truncated chains
+    dropping out. The oracle states the expected (frame_idx, frame_off)
+    rows arithmetically; digests stay pytest-verified (DuckDB sha256 is
+    VARCHAR-only)."""
+    from ..operators.multimodal import sample_frames
+
+    return (sample_frames(_gif_media_df(spark, sf_dir))
+            .select("media_id", "frame_idx", "frame_off"))

@@ -411,3 +411,118 @@ def test_jpeg_through_spark_decode(spark):
     a = sorted(map(tuple, decode_media(sdf, num_partitions=2).collect()))
     b = sorted(map(tuple, decode_media(sdf, num_partitions=3).collect()))
     assert a == b
+
+# ---------------------------------------------------------------- GIF
+
+def test_gif_lzw_roundtrip_and_interlace():
+    """Pixel-exact LZW round trips across palette sizes, including the
+    12-bit-code / table-full / mid-stream-Clear regime (the encoder's
+    width bump must track the decoder's lagged table — the classic GIF
+    desync bug), plus 4-pass interlace reorder and GIF87a."""
+    import numpy as np
+
+    from pdf_extract_spark.fixtures.media import (
+        gif_expected_samples, make_gif)
+    from pdf_extract_spark.operators.multimodal import decode_payload_media
+
+    for (w, h), ps in (((9, 6), 16), ((33, 21), 7), ((5, 4), 4),
+                       ((200, 150), 256)):  # last forces table fill+Clear
+        meta, err = decode_payload_media(make_gif(w, h, seed=3,
+                                                  palette_size=ps))
+        assert err is None, ((w, h), ps, err)
+        assert (meta["kind"], meta["width"], meta["height"],
+                meta["n_frames"]) == ("image", w, h, 1)
+        assert np.array_equal(
+            meta["samples"], gif_expected_samples(w, h, seed=3,
+                                                  palette_size=ps))
+    meta, err = decode_payload_media(make_gif(12, 17, seed=5,
+                                              interlace=True))
+    assert err is None
+    assert np.array_equal(meta["samples"],
+                          gif_expected_samples(12, 17, seed=5))
+    meta, err = decode_payload_media(make_gif(4, 4, seed=2,
+                                              version=b"87a"))
+    assert err is None and meta["kind"] == "image"
+    meta, err = decode_payload_media(make_gif(8, 8, value=99))
+    assert err is None and (meta["samples"] == 99).all()
+
+
+def test_gif_animation_true_frame_bounds():
+    """Multi-frame GIFs decode as video-kind rows with TRUE per-frame
+    boundaries and the GCE-delay frame rate, so animated GIFs flow
+    through the same sample_frames machinery as Y4M."""
+    import numpy as np
+
+    from pdf_extract_spark.fixtures.media import (
+        gif_expected_samples, make_gif)
+    from pdf_extract_spark.operators.multimodal import decode_payload_media
+
+    meta, err = decode_payload_media(make_gif(10, 7, n_frames=5, seed=2,
+                                              delay_cs=5))
+    assert err is None
+    assert (meta["kind"], meta["n_frames"], meta["sample_rate"]) == \
+        ("video", 5, 20)
+    assert meta["frame_bounds"] == [(i * 210, 210) for i in range(5)]
+    assert np.array_equal(meta["samples"],
+                          gif_expected_samples(10, 7, n_frames=5, seed=2))
+
+
+def test_gif_quarantine_taxonomy():
+    """Typed quarantine for each malformed-stream class."""
+    import struct
+
+    from pdf_extract_spark.fixtures.media import _gif_lzw_encode, make_gif
+    from pdf_extract_spark.operators.multimodal import decode_payload_media
+
+    base = make_gif(9, 6, seed=1)
+    hdr = base[:13 + 48]  # LSD + 16-entry GCT
+    corrupt = bytearray(base)
+    corrupt[-10] ^= 0xFF
+
+    lsd_nogct = b"GIF89a" + struct.pack("<HH", 2, 2) + bytes([0, 0, 0])
+    img = (b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + b"\x00"
+           + bytes([2]))
+    data = _gif_lzw_encode(bytes([0, 1, 1, 0]), 2)
+    sub = bytes([len(data)]) + data + b"\x00"
+
+    lsd_small = (b"GIF89a" + struct.pack("<HH", 2, 2)
+                 + bytes([0x80 | 1, 0, 0]) + bytes(12))
+    img3 = (b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + b"\x00"
+            + bytes([3]))
+    data3 = _gif_lzw_encode(bytes([5, 5, 5, 5]), 3)
+    sub3 = bytes([len(data3)]) + data3 + b"\x00"
+
+    cases = {
+        base[:len(base) // 2]: "truncated_gif",
+        bytes(corrupt): "bad_gif_lzw",
+        hdr + b"\x3b": "missing_gif_frame",
+        hdr + b"\x7f\x3b": "bad_gif_block",
+        lsd_nogct + img + sub + b"\x3b": "missing_gif_palette",
+        lsd_small + img3 + sub3 + b"\x3b": "bad_gif_palette_index",
+    }
+    for payload, want in cases.items():
+        meta, err = decode_payload_media(payload)
+        assert meta is None and err == want, (want, err)
+
+
+def test_gif_through_spark_frame_sampling(spark):
+    """Animated GIF payloads explode through the SAME sample_frames
+    operator as Y4M — every 4th frame at true byte offsets — and the
+    static/corrupt rows drop out."""
+    from pdf_extract_spark.fixtures.media import make_gif
+    from pdf_extract_spark.operators.multimodal import (
+        decode_media, sample_frames)
+
+    anim = make_gif(6, 5, n_frames=9, seed=4)
+    rows = [("anim", bytearray(anim)),
+            ("still", bytearray(make_gif(6, 5, seed=7))),
+            ("bad", bytearray(anim[:40]))]
+    sdf = spark.createDataFrame(rows, "media_id string, payload binary")
+    meta = {r["media_id"]: r for r in decode_media(sdf).collect()}
+    assert (meta["anim"]["kind"], meta["anim"]["n_frames"]) == ("video", 9)
+    assert meta["still"]["kind"] == "image"
+    assert meta["bad"]["error"] == "truncated_gif"
+    got = sorted((r["media_id"], r["frame_idx"], r["frame_off"])
+                 for r in sample_frames(sdf).collect())
+    fsz = 6 * 5 * 3
+    assert got == [("anim", 0, 0), ("anim", 4, 4 * fsz), ("anim", 8, 8 * fsz)]
