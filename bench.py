@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "media_features_jpeg",
     "media_meta_gif",
     "media_features_gif",
+    "video_frame_dedup",
 ]
 
 

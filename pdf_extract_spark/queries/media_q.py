@@ -612,3 +612,83 @@ def media_frames_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (sample_frames(_gif_media_df(spark, sf_dir))
             .select("media_id", "frame_idx", "frame_off"))
+
+
+def _gif_video_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → animated-GIF payloads with PLANTED cross-video
+    duplicate frames: fixed 8×6 canvas, (doc_id % 3)·4 + 4 frames, and
+    the content seed is doc_id % 5 — so two videos share a frame exactly
+    when their seeds match and the frame index is the same (seeds < 97
+    keep per-frame seeds collision-free across indices). doc_id % 13
+    drops the trailing bytes → truncated chains fall out of the frame
+    table, exercising the quarantine edge inside the dedup input."""
+    import pandas as pd
+
+    from ..fixtures.media import make_gif
+
+    def gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                p = make_gif(8, 6, n_frames=(did % 3) * 4 + 4,
+                             seed=did % 5)
+                if did % 13 == 0:
+                    p = p[:-2]
+                ids.append(str(did))
+                payloads.append(p)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(gen, schema="media_id string, payload binary")
+
+
+@register(
+    "video_frame_dedup",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id, doc_id % 5 AS grp, (doc_id % 3) * 4 + 4 AS frames
+      FROM documents WHERE doc_id % 13 <> 0),
+    f AS (SELECT doc_id, grp, i.range AS frame_idx
+          FROM v CROSS JOIN range(0, 12) i
+          WHERE i.range % 4 = 0 AND i.range < frames)
+    SELECT CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_videos,
+           CAST(MIN(doc_id) AS BIGINT) AS first_media,
+           CAST(MAX(doc_id) AS BIGINT) AS last_media
+    FROM f GROUP BY grp, frame_idx
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-video FRAME-level exact dedup — the video analog of
+    dedup_exact: sampled frames of every decodable animation (real GIF
+    LZW decode end-to-end) group on their content digest; clusters seen
+    in ≥ 2 distinct videos surface with their size and lexicographic
+    media bounds. The oracle replays the planted-duplicate arithmetic
+    (digest equality ⟺ same content seed AND same frame index on this
+    fixture), so a digest computed over wrong bytes, a frame boundary
+    off by one, or a truncated chain leaking frames all break the hash
+    compare.
+
+    Scale shape: the standard two-phase distinct-agg plan — partial
+    dedup on (digest, media) then the digest groupBy, both HashAggregate
+    with map-side partials (media bounds aggregate as fixed-width longs,
+    NOT strings, precisely so the hash fast path applies — min(string)
+    would fall back to SortAggregate) — no pair expansion, no window;
+    the frame table itself is a narrow 1-in→N-out mapInPandas off the
+    payload column. At 10^12 videos this is exactly the dedup_exact plan
+    with frames as the unit, and near-dup variants would swap the digest
+    for a perceptual sketch under the same groupBy."""
+    from ..operators.multimodal import sample_frames
+
+    frames = (sample_frames(_gif_video_df(spark, sf_dir))
+              .select("frame_digest", "frame_idx",
+                      F.col("media_id").cast("long").alias("media_no")))
+    return (frames.groupBy("frame_digest")
+            .agg(F.count_distinct("media_no").alias("n_videos"),
+                 F.min("frame_idx").alias("frame_idx"),
+                 F.min("media_no").alias("first_media"),
+                 F.max("media_no").alias("last_media"))
+            .filter(F.col("n_videos") >= 2)
+            .select("frame_idx", "n_videos", "first_media", "last_media"))

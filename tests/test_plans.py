@@ -1192,3 +1192,24 @@ def test_cosine_zero_vector_scores_minus_two_and_sorts_last(spark,
     assert all(r["vec_id"] != 20 for r in out)  # -2.0 sorts below top-k
     rng_out = load_all()["ann_range_search"].fn(spark, d).collect()
     assert all(r["vec_id"] != 20 for r in rng_out)
+
+
+def test_video_frame_dedup_plan_and_plants(spark):
+    """Frame-level video dedup must be the dedup_exact shape with frames
+    as the unit: one digest groupBy (partial+final HashAggregate), no
+    join of any kind, no window. Correctness: planted shared-seed frames
+    cluster exactly (driver-gated value-exact too; this is the plan
+    guard plus a small local check)."""
+    from pdf_extract_spark.queries import load_all
+
+    df = load_all()["video_frame_dedup"].fn(spark, SF)
+    plan = _plan(df)
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    rows = df.collect()
+    assert rows, "planted duplicate frames must surface"
+    for r in rows:
+        assert r["n_videos"] >= 2
+        assert r["first_media"] % 5 == r["last_media"] % 5
