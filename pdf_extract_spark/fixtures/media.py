@@ -52,12 +52,57 @@ def make_ppm(width: int, height: int, seed: int = 0,
     return head + _pattern(width * height * 3, seed).tobytes()
 
 
+def g711_ulaw_encode(pcm: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 μ-law compressor (numpy): PCM16 → codewords. Exact
+    inverse-on-codewords of the decoder (encode∘decode == identity over
+    all 256 codes — exhaustively pytest-asserted)."""
+    x = pcm.astype(np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x) + 0x84, 0x7FFF)
+    exp = np.floor(np.log2(mag)).astype(np.int64) - 7
+    mant = (mag >> (exp + 3)) & 0x0F
+    return ((~(sign | (exp << 4) | mant)) & 0xFF).astype(np.uint8)
+
+
+def g711_alaw_encode(pcm: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 A-law compressor (numpy): PCM16 → codewords (sign bit
+    SET for non-negative input, per the spec's toggled convention)."""
+    x = pcm.astype(np.int64)
+    sign = np.where(x >= 0, 0x80, 0)
+    ix = np.minimum(np.abs(x), 0x7FFF) >> 4  # 13-bit alignment (×16)
+    exp = np.zeros_like(ix)
+    nz = ix >= 16
+    exp[nz] = np.floor(np.log2(ix[nz])).astype(np.int64) - 3
+    mant = np.where(exp == 0, ix & 0x0F,
+                    (ix >> np.maximum(exp - 1, 0)) & 0x0F)
+    return (((sign | (exp << 4) | mant) ^ 0x55) & 0xFF).astype(np.uint8)
+
+
 def make_wav(sample_rate: int, n_frames: int, seed: int = 0,
-             channels: int = 1, bits: int = 16) -> bytes:
-    """RIFF/WAVE integer PCM (format tag 1)."""
-    block_align = channels * bits // 8
-    data = _pattern(n_frames * block_align, seed).tobytes()
-    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+             channels: int = 1, bits: int = 16,
+             codec: str = "pcm") -> bytes:
+    """RIFF/WAVE. `codec` selects the data encoding: "pcm" (format
+    tag 1, `bits` 8/16, LCG byte pattern), "float" (tag 3, float32 in
+    [-1, 1] derived from the pattern), "ulaw"/"alaw" (G.711 tags 7/6,
+    codewords straight from the pattern — every value is a valid
+    codeword)."""
+    if codec == "pcm":
+        tag = 1
+        block_align = channels * bits // 8
+        data = _pattern(n_frames * block_align, seed).tobytes()
+    elif codec == "float":
+        tag, bits = 3, 32
+        block_align = channels * 4
+        x = (_pattern(n_frames * channels, seed).astype(np.float64)
+             - 127.5) / 127.5
+        data = x.astype("<f4").tobytes()
+    elif codec in ("ulaw", "alaw"):
+        tag, bits = (7 if codec == "ulaw" else 6), 8
+        block_align = channels
+        data = _pattern(n_frames * channels, seed).tobytes()
+    else:  # pragma: no cover - fixture misuse
+        raise ValueError(f"unknown wav codec {codec!r}")
+    fmt = struct.pack("<HHIIHH", tag, channels, sample_rate,
                       sample_rate * block_align, block_align, bits)
     body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(data)) + data)

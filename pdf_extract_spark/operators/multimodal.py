@@ -9,7 +9,9 @@ pure numpy from their published specs (no codec libraries in the sandbox):
 
 - BMP  (Windows bitmap, BITMAPINFOHEADER, uncompressed 24-bit BI_RGB)
 - PPM  (Netpbm P6 binary RGB, maxval <= 255)
-- WAV  (RIFF/WAVE, integer PCM, 8/16-bit)
+- WAV  (RIFF/WAVE: integer PCM 8/16-bit; IEEE float32 and G.711
+       μ-law/A-law expand to canonical PCM16 via the exact table
+       formulas, so features are codec-independent)
 - Y4M  (YUV4MPEG2 uncompressed video — real per-frame boundaries)
 
 - PNG  (ISO/IEC 15948 — zlib inflate of the IDAT stream + per-scanline
@@ -145,10 +147,39 @@ def _decode_ppm(p: bytes) -> tuple[dict | None, str | None]:
             "samples": np.frombuffer(p, np.uint8, need, pos)}, None
 
 
+def g711_ulaw_decode(u: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 μ-law codewords → linear PCM16 (exact table formula,
+    numpy-vectorized)."""
+    u = (~u.astype(np.int64)) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def g711_alaw_decode(a: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 A-law codewords → linear PCM16 (×16 scaling per the
+    spec's 13-bit alignment; after the 0x55 toggle a SET sign bit means
+    positive, the opposite of μ-law), numpy-vectorized."""
+    a = a.astype(np.int64) ^ 0x55
+    sign = a & 0x80
+    exp = (a >> 4) & 7
+    mant = a & 0x0F
+    mag = np.where(exp == 0, (mant << 4) + 8,
+                   ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    return np.where(sign, mag, -mag).astype(np.int16)
+
+
 def _decode_wav(p: bytes) -> tuple[dict | None, str | None]:
-    """RIFF/WAVE integer PCM (format tag 1), 8- or 16-bit. n_frames is the
+    """RIFF/WAVE: integer PCM (format tag 1, 8/16-bit), IEEE float
+    (tag 3, 32-bit) and G.711 μ-law/A-law (tags 7/6). n_frames is the
     PCM sample-frame count (data bytes / block align); chunks are walked
-    with word alignment per the RIFF spec."""
+    with word alignment per the RIFF spec. Integer-PCM sample bytes pass
+    through verbatim (the golden surface since round 2); the float and
+    G.711 codecs decode to CANONICAL little-endian PCM16 bytes so
+    downstream features are codec-independent — the same waveform
+    shipped as float32 or μ-law lands on the same sample bytes."""
     if len(p) < 12 or p[8:12] != b"WAVE":
         return None, "bad_riff_form"
     fmt = data = None
@@ -168,9 +199,30 @@ def _decode_wav(p: bytes) -> tuple[dict | None, str | None]:
         return None, "missing_wav_chunk"
     audio_fmt, channels, rate, _, block_align, bits = \
         struct.unpack_from("<HHIIHH", fmt)
+    if channels == 0 or block_align == 0:
+        return None, "unsupported_wav_layout"
+    if audio_fmt == 3:  # IEEE float → canonical PCM16
+        if bits != 32 or len(data) % 4:
+            return None, "unsupported_wav_layout"
+        x = np.clip(np.frombuffer(data, "<f4").astype(np.float64), -1.0, 1.0)
+        pcm = np.round(x * 32767.0).astype("<i2")
+        return {"kind": "audio", "width": 0, "height": 0,
+                "sample_rate": int(rate),
+                "n_frames": len(data) // block_align,
+                "samples": np.frombuffer(pcm.tobytes(), np.uint8)}, None
+    if audio_fmt in (6, 7):  # G.711 A-law / μ-law → canonical PCM16
+        if bits != 8:
+            return None, "unsupported_wav_layout"
+        codes = np.frombuffer(data, np.uint8)
+        pcm = (g711_alaw_decode(codes) if audio_fmt == 6
+               else g711_ulaw_decode(codes)).astype("<i2")
+        return {"kind": "audio", "width": 0, "height": 0,
+                "sample_rate": int(rate),
+                "n_frames": len(data) // block_align,
+                "samples": np.frombuffer(pcm.tobytes(), np.uint8)}, None
     if audio_fmt != 1:
         return None, "unsupported_wav_codec"
-    if bits not in (8, 16) or channels == 0 or block_align == 0:
+    if bits not in (8, 16):
         return None, "unsupported_wav_layout"
     return {"kind": "audio", "width": 0, "height": 0,
             "sample_rate": int(rate),

@@ -526,3 +526,76 @@ def test_gif_through_spark_frame_sampling(spark):
                  for r in sample_frames(sdf).collect())
     fsz = 6 * 5 * 3
     assert got == [("anim", 0, 0), ("anim", 4, 4 * fsz), ("anim", 8, 8 * fsz)]
+
+# ---------------------------------------------------------------- WAV codecs
+
+def test_wav_g711_codeword_identity_exhaustive():
+    """G.711 compressor/expander pair is exact over the ENTIRE codeword
+    space: encode(decode(c)) == c for all 256 A-law codes and all μ-law
+    codes except 0x7F — the spec's negative zero, which decodes to 0 and
+    re-encodes to the canonical positive zero 0xFF."""
+    import numpy as np
+
+    from pdf_extract_spark.fixtures.media import (
+        g711_alaw_encode, g711_ulaw_encode)
+    from pdf_extract_spark.operators.multimodal import (
+        g711_alaw_decode, g711_ulaw_decode)
+
+    codes = np.arange(256, dtype=np.uint8)
+    assert (g711_alaw_encode(g711_alaw_decode(codes)) == codes).all()
+    u = g711_ulaw_encode(g711_ulaw_decode(codes))
+    mism = np.nonzero(u != codes)[0]
+    assert list(mism) == [0x7F] and u[0x7F] == 0xFF
+    # published extremes: μ-law ±32124, A-law ±32256
+    assert g711_ulaw_decode(np.array([0x00, 0x80], np.uint8)).tolist() == \
+        [-32124, 32124]
+    assert g711_alaw_decode(np.array([0x2A, 0xAA], np.uint8)).tolist() == \
+        [-32256, 32256]
+
+
+def test_wav_float_and_g711_decode_to_canonical_pcm16():
+    """Float32 and G.711 WAV payloads decode to canonical little-endian
+    PCM16 sample bytes: the same waveform shipped as float32 lands on
+    the exact PCM16 bytes, and G.711 containers expand their codewords
+    through the table formulas."""
+    import struct as st
+
+    import numpy as np
+
+    from pdf_extract_spark.fixtures.media import _pattern, make_wav
+    from pdf_extract_spark.operators.multimodal import (
+        decode_payload_media, g711_ulaw_decode)
+
+    for codec in ("float", "ulaw", "alaw"):
+        meta, err = decode_payload_media(make_wav(8000, 64, seed=5,
+                                                  codec=codec))
+        assert err is None, (codec, err)
+        assert (meta["kind"], meta["sample_rate"], meta["n_frames"]) == \
+            ("audio", 8000, 64)
+        assert len(meta["samples"]) == 64 * 2  # canonical PCM16 bytes
+
+    # exact float → PCM16: encode known int16 values as float32/32767
+    pcm = ((np.arange(64) * 97 % 2001) - 1000).astype(np.int16)
+    body = (pcm.astype(np.float64) / 32767.0).astype("<f4").tobytes()
+    fmt = st.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    wav = (b"RIFF" + st.pack("<I", 20 + len(fmt) + len(body)) + b"WAVE"
+           + b"fmt " + st.pack("<I", len(fmt)) + fmt
+           + b"data" + st.pack("<I", len(body)) + body)
+    meta, err = decode_payload_media(wav)
+    assert err is None
+    got = np.frombuffer(meta["samples"].tobytes(), "<i2")
+    assert np.array_equal(got, pcm)
+
+    # μ-law container: samples must equal the table expansion of the codes
+    meta, err = decode_payload_media(make_wav(8000, 50, seed=9,
+                                              codec="ulaw"))
+    exp = g711_ulaw_decode(_pattern(50, 9)).astype("<i2")
+    assert np.array_equal(np.frombuffer(meta["samples"].tobytes(), "<i2"),
+                          exp)
+
+    # unsupported stays typed: 24-bit float claim
+    bad_fmt = st.pack("<HHIIHH", 3, 1, 8000, 32000, 3, 24)
+    wav = (b"RIFF" + st.pack("<I", 20 + len(bad_fmt)) + b"WAVE"
+           + b"fmt " + st.pack("<I", len(bad_fmt)) + bad_fmt
+           + b"data" + st.pack("<I", 0))
+    assert decode_payload_media(wav)[1] == "unsupported_wav_layout"
