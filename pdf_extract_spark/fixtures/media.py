@@ -153,43 +153,65 @@ def _png_filter_rows(px: np.ndarray, ch: int,
     return b"".join(out)
 
 
+_PNG_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
 def make_png(width: int, height: int, seed: int = 0, color_type: int = 2,
              filters: tuple[int, ...] = (0, 1, 2, 3, 4),
              interlace: int = 0, level: int = 6,
-             value: int | None = None) -> bytes:
-    """Non-interlaced 8-bit PNG (color types 0/2/3/4/6), real zlib IDAT.
+             value: int | None = None, depth: int = 8) -> bytes:
+    """PNG (color types 0/2/3/4/6, depth 8 or 16), real zlib IDAT.
     `filters` cycles per scanline so decoders must handle every filter
     type; palette images (type 3) get a 16-entry PLTE and indices
-    bounded to it. `interlace` is written into IHDR verbatim so tests
-    can emit the unsupported Adam7 flag. `value` makes every sample that
-    one byte (the filtered STREAM still varies by filter type) so an
-    oracle can state the decoded content arithmetically — any unfilter
-    defect scrambles it."""
+    bounded to it. `interlace=1` emits REAL Adam7 data: the seven
+    reduced images, each independently filtered. `value` makes every
+    sample that one byte (the filtered STREAM still varies by filter
+    type) so an oracle can state the decoded content arithmetically —
+    any unfilter defect scrambles it."""
     ch = _PNG_CHANNELS[color_type]
-    px = (np.full(height * width * ch, value, np.uint8)
+    unit = ch * (depth // 8)
+    px = (np.full(height * width * unit, value, np.uint8)
           if value is not None
-          else _pattern(height * width * ch, seed)).reshape(
-              height, width * ch)
+          else _pattern(height * width * unit, seed)).reshape(
+              height, width * unit)
     chunks = [_png_chunk(b"IHDR", struct.pack(
-        ">IIBBBBB", width, height, 8, color_type, 0, 0, interlace))]
+        ">IIBBBBB", width, height, depth, color_type, 0, 0, interlace))]
     if color_type == 3:
         px = (px % 16).astype(np.uint8)  # indices into the palette
         chunks.append(_png_chunk(b"PLTE", _pattern(48, seed + 7).tobytes()))
-    raw = _png_filter_rows(px, ch, list(filters))
+    if interlace:
+        parts = []
+        cube = px.reshape(height, width, unit)
+        for i, (x0, y0, dx, dy) in enumerate(_PNG_ADAM7):
+            sub = cube[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            parts.append(_png_filter_rows(
+                sub.reshape(sub.shape[0], sub.shape[1] * unit), unit,
+                [filters[i % len(filters)]]))
+        raw = b"".join(parts)
+    else:
+        raw = _png_filter_rows(px, unit, list(filters))
     chunks.append(_png_chunk(b"IDAT", zlib.compress(raw, level)))
     chunks.append(_png_chunk(b"IEND", b""))
     return b"\x89PNG\r\n\x1a\n" + b"".join(chunks)
 
 
 def png_expected_samples(width: int, height: int, seed: int = 0,
-                         color_type: int = 2) -> np.ndarray:
+                         color_type: int = 2,
+                         depth: int = 8) -> np.ndarray:
     """The sample bytes make_png encodes, as the decoder must emit them
-    (palette indices expanded through PLTE) — the round-trip ground truth."""
+    (palette indices expanded through PLTE; depth 16 canonicalized to
+    the high byte per sample) — the round-trip ground truth."""
     ch = _PNG_CHANNELS[color_type]
-    px = _pattern(height * width * ch, seed)
+    unit = ch * (depth // 8)
+    px = _pattern(height * width * unit, seed)
     if color_type == 3:
         pal = _pattern(48, seed + 7).reshape(16, 3)
         return pal[(px % 16).astype(np.int64)].reshape(-1)
+    if depth == 16:
+        return px.reshape(-1, 2)[:, 0].copy()
     return px
 
 

@@ -15,8 +15,9 @@ pure numpy from their published specs (no codec libraries in the sandbox):
 - Y4M  (YUV4MPEG2 uncompressed video — real per-frame boundaries)
 
 - PNG  (ISO/IEC 15948 — zlib inflate of the IDAT stream + per-scanline
-       unfilter in numpy; bit depth 8, color types 0/2/3/4/6,
-       non-interlaced; chunk CRCs validated)
+       unfilter in numpy; bit depths 8 and 16 (high-byte canonical
+       reduction), color types 0/2/3/4/6, non-interlaced AND Adam7;
+       chunk CRCs validated)
 - JPEG (ITU-T T.81 baseline + extended sequential Huffman: marker walk,
        DQT/DHT from the stream, entropy decode with RSTn restarts,
        vectorized IDCT, 4:4:4 / 4:2:0 / arbitrary sampling-factor plane
@@ -300,11 +301,18 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))  # x0, y0, dx, dy
+
+
 def _png_unfilter(raw: bytes, width: int, height: int,
                   ch: int) -> np.ndarray | None:
     """Reverse the PNG scanline filters (spec §9): each of the `height`
-    scanlines is 1 filter byte + width*ch sample bytes. Filters None/Sub/
-    Up are fully vectorized (Sub is a per-channel-lane cumsum mod 256);
+    scanlines is 1 filter byte + width*ch sample bytes, where `ch` is the
+    filter unit bpp in BYTES (channels × bytes-per-sample — the spec's
+    filters always act on bytes, with the "left" neighbor bpp bytes
+    back, so depth 16 reuses this path with ch doubled). Filters None/
+    Sub/Up are fully vectorized (Sub is a per-byte-lane cumsum mod 256);
     Average/Paeth carry a true left-to-right data dependency, so they run
     one numpy op per PIXEL over the ch lanes — still no per-byte Python.
     Returns (height, width*ch) uint8, or None if a filter byte is invalid."""
@@ -357,9 +365,11 @@ def _png_unfilter(raw: bytes, width: int, height: int,
 def _decode_png(p: bytes) -> tuple[dict | None, str | None]:
     """PNG (ISO/IEC 15948), pure stdlib+numpy: signature, CRC-validated
     chunk walk, IHDR grammar, zlib inflate of the concatenated IDAT
-    stream, per-scanline unfilter. Bounded scope (same discipline as
-    kernels/pdf_extract.py): bit depth 8, color types 0/2/3/4/6,
-    interlace 0 — everything else quarantines with a typed reason.
+    stream, per-scanline unfilter; Adam7 interlace (seven independently
+    filtered reduced images scattered back by strided assignment) and
+    depth 16 (2-byte filter units, high-byte canonical 8-bit reduction)
+    both decode for real. Bounded scope (same discipline as
+    kernels/pdf_extract.py): sub-byte depths 1/2/4 quarantine typed.
     Palette images are expanded through PLTE so `samples` is always raw
     channel bytes in row order, layout-independent like the BMP path."""
     pos, n = 8, len(p)
@@ -397,24 +407,54 @@ def _decode_png(p: bytes) -> tuple[dict | None, str | None]:
         return None, "bad_png_dims"
     if comp != 0 or filt != 0:
         return None, "bad_png_ihdr"
-    if interlace != 0:
+    if interlace not in (0, 1):
         return None, "unsupported_png_interlace"
-    if depth != 8:
-        return None, "unsupported_png_depth"
+    if depth not in (8, 16):
+        return None, "unsupported_png_depth"  # 1/2/4 sub-byte packing
     ch = _PNG_CHANNELS.get(color)
     if ch is None:
         return None, "unsupported_png_color"
+    if color == 3 and depth == 16:
+        return None, "bad_png_ihdr"  # spec: palette depth is <= 8
+    unit = ch * (depth // 8)  # filter bpp in bytes
     if not idat:
         return None, "missing_png_idat"
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None, "bad_png_zlib"
-    if len(raw) != height * (width * ch + 1):
-        return None, "truncated_png_pixels"
-    px = _png_unfilter(raw, width, height, ch)
-    if px is None:
-        return None, "bad_png_filter"
+    if interlace == 0:
+        if len(raw) != height * (width * unit + 1):
+            return None, "truncated_png_pixels"
+        px = _png_unfilter(raw, width, height, unit)
+        if px is None:
+            return None, "bad_png_filter"
+    else:
+        # Adam7: seven independently-filtered reduced images, scattered
+        # back onto the full canvas with numpy strided assignment
+        px = np.zeros((height, width, unit), np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            need = ph * (pw * unit + 1)
+            if pos + need > len(raw):
+                return None, "truncated_png_pixels"
+            sub = _png_unfilter(raw[pos:pos + need], pw, ph, unit)
+            if sub is None:
+                return None, "bad_png_filter"
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, unit)
+            pos += need
+        if pos != len(raw):
+            return None, "truncated_png_pixels"
+        px = px.reshape(height, width * unit)
+    if depth == 16:
+        # canonical 8-bit surface: the high byte of each big-endian
+        # 16-bit sample (the standard 16→8 reduction), so features are
+        # depth-independent
+        px = np.ascontiguousarray(px.reshape(height, width * ch, 2)[:, :, 0])
     if color == 3:  # palette: expand indices through PLTE to RGB
         if plte is None or len(plte) % 3 or not plte:
             return None, "bad_png_plte"

@@ -219,7 +219,10 @@ def test_png_quarantine_taxonomy():
     cases = {
         bytes(flipped): "bad_png_crc",
         good[:40]: "truncated_png_chunk",
-        make_png(5, 4, interlace=1): "unsupported_png_interlace",
+        # interlace values beyond Adam7 (which decodes for real now)
+        sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 2))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+            + chunk(b"IEND", b""): "unsupported_png_interlace",
         sig + ihdr22 + chunk(b"IDAT", b"junk") + chunk(b"IEND", b""):
             "bad_png_zlib",
         sig + ihdr22 + chunk(b"IDAT", zlib.compress(b"\x00\x01"))
@@ -228,9 +231,14 @@ def test_png_quarantine_taxonomy():
             b"\x07\x01\x02\x07\x03\x04")) + chunk(b"IEND", b""):
             "bad_png_filter",
         sig + ihdr22 + chunk(b"IEND", b""): "missing_png_idat",
-        sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
+        # sub-byte depths stay out of scope (depth 16 decodes for real)
+        sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0))
             + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
             + chunk(b"IEND", b""): "unsupported_png_depth",
+        # palette images must be depth <= 8 per spec
+        sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+            + chunk(b"IEND", b""): "bad_png_ihdr",
         sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 7, 0, 0, 0))
             + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
             + chunk(b"IEND", b""): "unsupported_png_color",
@@ -599,3 +607,34 @@ def test_wav_float_and_g711_decode_to_canonical_pcm16():
            + b"fmt " + st.pack("<I", len(bad_fmt)) + bad_fmt
            + b"data" + st.pack("<I", 0))
     assert decode_payload_media(wav)[1] == "unsupported_wav_layout"
+
+def test_png_adam7_and_depth16_roundtrip():
+    """Adam7 interlace (seven independently-filtered reduced images,
+    scattered back with strided assignment) and 16-bit depth (filters on
+    2-byte units, high-byte canonical reduction) decode pixel-exactly —
+    including canvases smaller than one 8×8 interlace tile, where later
+    passes are empty."""
+    import numpy as np
+
+    from pdf_extract_spark.fixtures.media import (
+        make_png, png_expected_samples)
+    from pdf_extract_spark.operators.multimodal import decode_payload_media
+
+    for ct in (0, 2, 3, 4, 6):
+        for (w, h) in ((9, 6), (3, 2), (1, 1), (16, 16), (5, 11)):
+            p = make_png(w, h, seed=ct * 13 + w, color_type=ct, interlace=1)
+            meta, err = decode_payload_media(p)
+            assert err is None, (ct, w, h, err)
+            assert np.array_equal(
+                meta["samples"],
+                png_expected_samples(w, h, seed=ct * 13 + w, color_type=ct))
+    for ct in (0, 2, 4, 6):
+        for il in (0, 1):
+            p = make_png(7, 5, seed=ct + il * 31, color_type=ct,
+                         depth=16, interlace=il)
+            meta, err = decode_payload_media(p)
+            assert err is None, (ct, il, err)
+            assert np.array_equal(
+                meta["samples"],
+                png_expected_samples(7, 5, seed=ct + il * 31,
+                                     color_type=ct, depth=16))
