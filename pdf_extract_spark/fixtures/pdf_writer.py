@@ -25,14 +25,131 @@ def _esc(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def _content_stream(ops: list[str], compress: bool = False) -> bytes:
+def _a85_encode(data: bytes) -> bytes:
+    """ISO 32000 §7.4.3 encoder: 4-byte big-endian groups → 5 chars
+    '!'..'u', all-zero full groups → 'z', partial final group of n bytes
+    → n+1 chars, '~>' EOD. Line-wrapped at 72 chars (whitespace the
+    decoder must ignore)."""
+    out = bytearray()
+    n = len(data)
+    for i in range(0, n, 4):
+        chunk = data[i:i + 4]
+        pad = 4 - len(chunk)
+        v = int.from_bytes(chunk + b"\x00" * pad, "big")
+        if v == 0 and pad == 0:
+            out += b"z"
+            continue
+        grp = bytearray(5)
+        for j in range(4, -1, -1):
+            grp[j] = 33 + v % 85
+            v //= 85
+        out += grp[:5 - pad]
+    wrapped = b"\n".join(out[i:i + 72] for i in range(0, len(out), 72))
+    return wrapped + b"~>"
+
+
+def _rle_encode(data: bytes) -> bytes:
+    """§7.4.5 encoder: real run detection (runs ≥ 3 become 257-L repeat
+    records, the rest literal records ≤ 128 bytes), EOD byte 128."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit_start = 0
+
+    def flush_lit(end: int) -> None:
+        s = lit_start
+        while s < end:
+            take = min(128, end - s)
+            out.append(take - 1)
+            out.extend(data[s:s + take])
+            s += take
+
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            flush_lit(i)
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    flush_lit(n)
+    out.append(128)
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """§7.4.4 encoder: real dictionary LZW, MSB-first variable-width
+    codes (9→12 bits), Clear=256 leading, EOD=257 trailing, table reset
+    at 4096 entries, EarlyChange width bump (default 1)."""
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    emit(256)
+    w = b""
+    for i in range(len(data)):
+        c = data[i:i + 1]
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w])
+        if next_code + early >= (1 << width) and width < 12:
+            width += 1
+        table[w + c] = next_code
+        next_code += 1
+        if next_code == 4096:
+            emit(256)
+            table = {bytes([j]): j for j in range(256)}
+            next_code, width = 258, 9
+        w = c
+    if w:
+        emit(table[w])
+        if next_code + early >= (1 << width) and width < 12:
+            width += 1
+    emit(257)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+_FILTER_ENCODERS = {
+    "/FlateDecode": lambda b: zlib.compress(b, 6),
+    "/LZWDecode": _lzw_encode,
+    "/ASCIIHexDecode": lambda b: b.hex().encode("ascii") + b">",
+    "/ASCII85Decode": _a85_encode,
+    "/RunLengthDecode": _rle_encode,
+}
+
+
+def _content_stream(ops: list[str], compress: bool = False,
+                    filters: list[str] | None = None) -> bytes:
+    """Serialize ops; `filters` is the DECODE order (the /Filter array),
+    so encoding applies them in reverse — e.g. ["/ASCII85Decode",
+    "/FlateDecode"] deflates first, then ascii85-wraps."""
     body = "\n".join(ops).encode("latin-1", errors="replace")
-    if compress:
-        body = zlib.compress(body, level=6)
-        return (b"<< /Length " + str(len(body)).encode()
-                + b" /Filter /FlateDecode >>\nstream\n" + body + b"\nendstream")
-    return (b"<< /Length " + str(len(body)).encode()
-            + b" >>\nstream\n" + body + b"\nendstream")
+    if filters is None:
+        filters = ["/FlateDecode"] if compress else []
+    for name in reversed(filters):
+        body = _FILTER_ENCODERS[name](body)
+    d = b"<< /Length " + str(len(body)).encode()
+    if len(filters) == 1:
+        d += b" /Filter " + filters[0].encode()
+    elif filters:
+        d += b" /Filter [" + " ".join(filters).encode() + b"]"
+    return d + b" >>\nstream\n" + body + b"\nendstream"
 
 
 def page_ops_simple(lines: list[str]) -> list[str]:
@@ -203,7 +320,8 @@ def _xref_stream_body(entries: list[tuple[int, int, int]],
 def build_pdf2(pages_ops: list[list[str]], compress: bool = False,
                xref_stream: bool = False, objstm: bool = False,
                predictor: int = 0, cid_font: bool = False,
-               reverse_storage: bool = False) -> bytes:
+               reverse_storage: bool = False,
+               filters: list[str] | None = None) -> bytes:
     """PDF 1.5 assembler. Differences from build_pdf: optional cross-
     reference STREAM (W [1 3 1], type-1/2 entries, optional PNG Up
     predictor), optional /ObjStm packing of every non-stream object
@@ -234,7 +352,8 @@ def build_pdf2(pages_ops: list[list[str]], compress: bool = False,
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W} "
             f"{PAGE_H}] /Contents {4 + 2 * i} 0 R /Resources "
             f"<< /Font << {font_res} >> >> >>").encode()
-        streams[4 + 2 * i] = _content_stream(ops, compress=compress)
+        streams[4 + 2 * i] = _content_stream(ops, compress=compress,
+                                             filters=filters)
     if cid_font:
         dicts[f2_num] = (
             f"<< /Type /Font /Subtype /Type0 /BaseFont /Fixture-CID "

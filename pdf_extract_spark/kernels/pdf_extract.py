@@ -25,11 +25,16 @@ unsupported features (`unsupported_encrypted_pdf`,
 `unsupported_stream_filter`) from malformed bytes
 (`bad_xref`/`bad_flate_stream`/`content_stream_parse_error`).
 
-Bounded scope: content streams (raw or FlateDecode-compressed, located by
-the /Length entry — never by scanning for `endstream`, which compressed
-bytes may contain) with BT/ET, Tf, Td, TD, Tm, T*, TL, Tj, TJ, ' and
-literal/hex string arguments — what the fixture writer emits
-(FIXTURES.md §1) plus the structural grammar above. Pure function of
+Bounded scope: content streams (raw or filtered by any chain of the five
+ISO 32000 §7.4 data filters — FlateDecode, LZWDecode, ASCIIHexDecode,
+ASCII85Decode, RunLengthDecode, with per-filter /DecodeParms: PNG
+predictors, LZW /EarlyChange — located by the /Length entry, never by
+scanning for `endstream`, which compressed bytes may contain) with
+BT/ET, Tf, Td, TD, Tm, T*, TL, Tj, TJ, ' and literal/hex string
+arguments — what the fixture writer emits (FIXTURES.md §1) plus the
+structural grammar above. Image codecs (DCTDecode/JPXDecode/CCITTFax/
+JBIG2) and /Crypt stay typed `unsupported_stream_filter`: a text
+extractor never needs them for content streams. Pure function of
 bytes ⇒ usable as the single-node golden oracle.
 """
 
@@ -40,6 +45,9 @@ import zlib
 
 _STREAM_HDR_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.DOTALL)
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
+_SCAN_FILTER_RE = re.compile(
+    rb"/(FlateDecode|LZWDecode|ASCIIHexDecode|ASCII85Decode|RunLengthDecode)"
+    rb"\b")
 
 
 def _iter_streams(payload: bytes):
@@ -63,12 +71,17 @@ def _iter_streams(payload: bytes):
         end = m.end() + int(lm.group(1))
         body = payload[m.end():end]
         pos = end
-        if b"/FlateDecode" in d:
-            try:
-                body = zlib.decompress(body)
-            except zlib.error:
-                yield None  # signals corrupt stream
-                continue
+        # salvage-path filter handling: names applied in the order they
+        # appear in the raw dict bytes (the /Filter array's source order);
+        # parms-dependent decodes (predictors, EarlyChange 0) belong to
+        # the structured path — salvage assumes defaults
+        names = _SCAN_FILTER_RE.findall(d)
+        try:
+            for name in names:
+                body = _apply_filter("/" + name.decode("ascii"), body, {})
+        except (_Malformed, _Unsupported):
+            yield None  # signals corrupt/undecodable stream
+            continue
         yield body
 
 # --------------------------------------------------------------------
@@ -227,6 +240,161 @@ def _unpredict(data: bytes, parms: dict) -> bytes:
     return bytes(out)
 
 
+# --------------------------------------------------------------------
+# Stream filters (ISO 32000-1 §7.4). Each is a pure bytes→bytes decode;
+# _apply_filter dispatches one chain link and applies its /Predictor.
+# DCTDecode/JPXDecode/CCITTFax/JBIG2/Crypt stay typed-unsupported: they
+# are image codecs (or encryption) a text extractor never needs for
+# content streams — quarantined, not silently skipped.
+
+def _asciihex_decode(data: bytes) -> bytes:
+    """§7.4.2: hex pairs, whitespace ignored, '>' is EOD, odd trailing
+    digit padded with 0."""
+    end = data.find(b">")
+    if end >= 0:
+        data = data[:end]
+    hx = re.sub(rb"[\x00\t\n\x0c\r ]", b"", data)
+    if len(hx) % 2:
+        hx += b"0"
+    try:
+        return bytes.fromhex(hx.decode("ascii"))
+    except (ValueError, UnicodeDecodeError) as e:
+        raise _Malformed("asciihex") from e
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """§7.4.3: base-85 groups of 5 chars ('!'..'u') → 4 bytes; 'z' alone
+    encodes four zero bytes; '~>' is EOD; a final partial group of n
+    chars decodes to n-1 bytes (pad with 'u'). Leading '<~' (Adobe
+    framing some encoders emit) is tolerated."""
+    end = data.find(b"~>")
+    if end >= 0:
+        data = data[:end]
+    s = re.sub(rb"[\x00\t\n\x0c\r ]", b"", data)
+    if s.startswith(b"<~"):
+        s = s[2:]
+    out = bytearray()
+    group: list[int] = []
+    for c in s:
+        if c == 0x7A:  # 'z'
+            if group:
+                raise _Malformed("ascii85 z inside group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= c <= 0x75:
+            raise _Malformed("ascii85 char")
+        group.append(c - 0x21)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            if v > 0xFFFFFFFF:
+                raise _Malformed("ascii85 overflow")
+            out += v.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            raise _Malformed("ascii85 trailing char")
+        n = len(group)
+        group += [84] * (5 - n)  # pad with 'u'
+        v = 0
+        for g in group:
+            v = v * 85 + g
+        if v > 0xFFFFFFFF:
+            raise _Malformed("ascii85 overflow")
+        out += v.to_bytes(4, "big")[:n - 1]
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    """§7.4.5: length byte L ≤ 127 → copy next L+1 literally; L ≥ 129 →
+    repeat next byte 257-L times; L = 128 → EOD."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        l = data[i]
+        if l == 128:
+            return bytes(out)
+        if l < 128:
+            j = i + 1 + l + 1
+            if j > n:
+                raise _Malformed("runlength literal")
+            out += data[i + 1:j]
+            i = j
+        else:
+            if i + 1 >= n:
+                raise _Malformed("runlength repeat")
+            out += bytes([data[i + 1]]) * (257 - l)
+            i += 2
+    return bytes(out)  # spec wants EOD, but tolerate exact-length data
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """§7.4.4: MSB-first variable-width LZW — 9-bit start, 256 = Clear,
+    257 = EOD, first dictionary code 258; width bumps at 511/1023/2047
+    (+EarlyChange, default 1 — one code EARLIER than the table demands,
+    the well-known off-by-one PDF inherits from TIFF). Distinct from the
+    GIF LZW in operators/multimodal.py: GIF packs codes LSB-first with a
+    data-dependent initial width."""
+    if early not in (0, 1):
+        raise _Malformed("lzw earlychange")
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    width = 9
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (acc >> nbits) & ((1 << width) - 1)
+            if code == 256:  # Clear
+                table = table[:258]
+                width, prev = 9, None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise _Malformed("lzw first code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise _Malformed("lzw code gap")
+            out += entry
+            prev = entry
+            if len(table) + early >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)  # tolerate missing EOD at exact end
+
+
+def _apply_filter(name: object, raw: bytes, parms: dict) -> bytes:
+    if name == "/FlateDecode":
+        try:
+            raw = zlib.decompress(raw)
+        except zlib.error as e:
+            raise _Malformed("flate") from e
+    elif name == "/LZWDecode":
+        raw = _lzw_decode(raw, int(parms.get("EarlyChange", 1)))
+    elif name == "/ASCIIHexDecode":
+        return _asciihex_decode(raw)
+    elif name == "/ASCII85Decode":
+        return _ascii85_decode(raw)
+    elif name == "/RunLengthDecode":
+        return _runlength_decode(raw)
+    else:
+        raise _Unsupported("unsupported_stream_filter")
+    if parms:  # /Predictor applies to Flate and LZW output only
+        raw = _unpredict(raw, parms)
+    return raw
+
+
 class _Doc:
     """Lazy object store over one PDF's bytes: xref chain (tables and
     xref streams), ObjStm expansion, /Length-indirect stream slicing."""
@@ -330,19 +498,17 @@ class _Doc:
 
     # -- objects --------------------------------------------------------
     def _decode_stream(self, d: dict, raw: bytes) -> bytes:
-        filt = d.get("Filter")
+        filt = self.resolve(d.get("Filter"))
         filters = filt if isinstance(filt, list) else ([filt] if filt else [])
-        for f in filters:
-            if f == "/FlateDecode":
-                try:
-                    raw = zlib.decompress(raw)
-                except zlib.error as e:
-                    raise _Malformed("flate") from e
-                parms = d.get("DecodeParms") or {}
-                if isinstance(parms, dict) and parms:
-                    raw = _unpredict(raw, parms)
-            else:
-                raise _Unsupported("unsupported_stream_filter")
+        # ISO 32000 §7.4: DecodeParms parallels Filter — a single dict for
+        # a single filter, an array (entries may be null) for a chain
+        parms = self.resolve(d.get("DecodeParms"))
+        parms_list = (parms if isinstance(parms, list)
+                      else [parms] * len(filters))
+        for i, f in enumerate(filters):
+            p = parms_list[i] if i < len(parms_list) else None
+            p = self.resolve(p)
+            raw = _apply_filter(f, raw, p if isinstance(p, dict) else {})
         return raw
 
     def _parse_stream_at(self, pos: int) -> tuple[dict, bytes]:

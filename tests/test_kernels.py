@@ -216,6 +216,102 @@ def test_pdf_quote_hex_and_leading():
     assert text.splitlines() == lines
 
 
+_FILTER_CHAINS = (
+    ["/ASCIIHexDecode"], ["/ASCII85Decode"], ["/RunLengthDecode"],
+    ["/LZWDecode"], ["/ASCII85Decode", "/FlateDecode"],
+    ["/ASCIIHexDecode", "/LZWDecode"], ["/RunLengthDecode", "/FlateDecode"],
+)
+
+
+def test_pdf_stream_filters_byte_identical():
+    """ISO 32000 §7.4 filters (ASCIIHex/ASCII85/RunLength/LZW + chains)
+    decode to the same extracted text as the unfiltered twin — through
+    the structured page-tree path, the xref-stream/ObjStm variant, AND
+    the stream-scan salvage path (damaged startxref)."""
+    pgs = [pdf_writer.page_ops_simple(
+               [f"filter fixture line {j} words" for j in range(8)]),
+           pdf_writer.page_ops_two_column(
+               [f"left {j}" for j in range(4)],
+               [f"right {j}" for j in range(4)])]
+    want, err = extract_pdf_text(pdf_writer.build_pdf2(pgs))
+    assert err is None and want
+    for fl in _FILTER_CHAINS:
+        plain = pdf_writer.build_pdf2(pgs, filters=fl)
+        assert extract_pdf_text(plain) == (want, None), fl
+        modern = pdf_writer.build_pdf2(pgs, filters=fl,
+                                       xref_stream=True, objstm=True)
+        assert extract_pdf_text(modern) == (want, None), fl
+        salvage = plain.replace(b"startxref", b"startxrfX")
+        assert extract_pdf_text(salvage) == (want, None), fl
+
+
+def test_pdf_filter_codecs_roundtrip():
+    """encode∘decode identity for each filter codec over adversarial
+    payloads: empty, runs, full byte range, low-entropy streams that
+    force LZW width growth, and >4096-entry streams that force a table
+    reset. Both EarlyChange values for LZW."""
+    import random
+
+    from pdf_extract_spark.fixtures.pdf_writer import (
+        _a85_encode, _lzw_encode, _rle_encode)
+    from pdf_extract_spark.kernels.pdf_extract import (
+        _ascii85_decode, _asciihex_decode, _lzw_decode, _runlength_decode)
+
+    rnd = random.Random(20260819)
+    cases = [
+        b"", b"A", b"AAAA", b"\x00" * 1000, bytes(range(256)) * 5,
+        ("lorem ipsum dolor " * 400).encode(),
+        bytes(rnd.choice(b"ab") for _ in range(30000)),      # width growth
+        bytes(rnd.randrange(256) for _ in range(60000)),     # table reset
+    ]
+    for data in cases:
+        assert _asciihex_decode(data.hex().encode() + b">") == data
+        assert _ascii85_decode(_a85_encode(data)) == data
+        assert _runlength_decode(_rle_encode(data)) == data
+        for early in (0, 1):
+            assert _lzw_decode(_lzw_encode(data, early), early) == data
+    # spec corner cases the encoders exercise from the decode side
+    assert _asciihex_decode(b"4 1 4") == b"A@"     # ws ignored, odd pad 0
+    assert _ascii85_decode(b"z~>") == b"\0\0\0\0"  # 'z' zero group
+    assert _a85_encode(b"\0\0\0\0") == b"z~>"
+
+
+def test_pdf_filter_malformed_and_unsupported():
+    """Typed taxonomy for the new filters: malformed bytes raise
+    _Malformed (→ scan fallback / quarantine), image codecs stay
+    unsupported_stream_filter, and /DecodeParms EarlyChange reaches the
+    LZW decoder through _apply_filter."""
+    import pytest
+
+    from pdf_extract_spark.fixtures.pdf_writer import _lzw_encode
+    from pdf_extract_spark.kernels.pdf_extract import (
+        _Malformed, _Unsupported, _apply_filter, _ascii85_decode,
+        _lzw_decode, _runlength_decode)
+
+    for bad in (b"u~>",          # lone trailing char: 1-of-5 group
+                b"uuuuu~>",      # > 2^32-1 group value
+                b"ab\x07cd~>"):  # char outside '!'..'u'
+        with pytest.raises(_Malformed):
+            _ascii85_decode(bad)
+    with pytest.raises(_Malformed):
+        _runlength_decode(b"\x7f" + b"x" * 10)  # literal overruns input
+    with pytest.raises(_Malformed):
+        _lzw_decode(b"\xff\xff\xff\xff")  # code far past table end
+    with pytest.raises(_Unsupported):
+        _apply_filter("/DCTDecode", b"x", {})
+    with pytest.raises(_Unsupported):
+        _apply_filter("/JPXDecode", b"x", {})
+    data = ("abcd" * 3000).encode()
+    enc0 = _lzw_encode(data, 0)
+    assert _apply_filter("/LZWDecode", enc0, {"EarlyChange": 0}) == data
+    # same-length name patch keeps xref offsets valid: the structured
+    # path must report the typed reason, not fall back silently
+    pdf = pdf_writer.build_pdf2(
+        [pdf_writer.page_ops_simple(["only line"])], filters=["/LZWDecode"])
+    assert extract_pdf_text(pdf.replace(b"/LZWDecode", b"/JPXDecode")) \
+        == (None, "unsupported_stream_filter")
+
+
 def test_pdf_flate_compressed_stream():
     """FlateDecode content streams decode identically to raw ones, and the
     /Length-based slicing survives `endstream` bytes inside deflate data."""
