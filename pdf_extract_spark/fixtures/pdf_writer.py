@@ -227,6 +227,22 @@ def page_ops_tj_array(segments: list[list]) -> list[str]:
     return ops
 
 
+def page_ops_inline_image(lines: list[str]) -> list[str]:
+    """Text lines interleaved with inline images (§8.9.7) whose binary
+    data is adversarial for a text tokenizer: parens, show operators,
+    digits, and non-delimited 'EI' byte pairs that are NOT the EOD (only
+    a whitespace-delimited EI ends the data)."""
+    raw = b"\x28\x29 12 Tj BT (x) Tj \xff\x00EIX \xfeEI7 "  # fake EIs
+    blob = raw.decode("latin-1")
+    img = f"BI /W 4 /H 2 /CS /G /BPC 8 ID {blob}\nEI"
+    ops: list[str] = []
+    for i, line in enumerate(lines):
+        ops += ["BT", f"/F1 {FONT_SIZE} Tf",
+                f"{LEFT} {TOP - i * LEADING} Td",
+                f"({_esc(line)}) Tj", "ET", img]
+    return ops
+
+
 def page_ops_quote_hex(lines: list[str]) -> list[str]:
     """Exercise TL leading + the ' (next-line-show) operator and hex-string
     arguments: odd lines as hex strings, even as literals."""

@@ -735,6 +735,10 @@ _TOKEN_RE = re.compile(
     rb"|[A-Za-z'\"*]+"
 )
 
+_INLINE_ID_RE = re.compile(rb"\bID[\x00\t\n\x0c\r ]")
+_INLINE_EOD_RE = re.compile(
+    rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r(<\[/%]|$)")
+
 _ESC_RE = re.compile(rb"\\([nrtbf()\\]|[0-7]{1,3})")
 _ESC_MAP = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
             b"(": b"(", b")": b")", b"\\": b"\\"}
@@ -769,8 +773,29 @@ def _parse_spans(stream: bytes,
     def show(s: str) -> str:
         return cmap.decode(s.encode("latin-1")) if cmap else s
 
-    for m in _TOKEN_RE.finditer(stream):
+    pos = 0
+    while True:
+        m = _TOKEN_RE.search(stream, pos)
+        if m is None:
+            break
+        pos = m.end()
         tok = m.group(0)
+        if tok == b"BI":
+            # inline image (§8.9.7): skip the dict, the binary data after
+            # ID, and the whitespace-delimited EI EOD. The raw bytes can
+            # contain anything — parens, "Tj", digits — so they must
+            # never reach the token stream. Done here (not as a pre-strip
+            # regex) so a "(BI" inside a string, already consumed as one
+            # string token, can't false-positive.
+            idm = _INLINE_ID_RE.search(stream, pos)
+            if idm is None:
+                raise _Malformed("inline image: no ID")
+            eod = _INLINE_EOD_RE.search(stream, idm.end())
+            if eod is None:
+                raise _Malformed("inline image: no EI")
+            pos = eod.end()
+            stack = []
+            continue
         if tok == b"[":
             in_array, array_items = True, []
         elif tok == b"]":

@@ -312,6 +312,29 @@ def test_pdf_filter_malformed_and_unsupported():
         == (None, "unsupported_stream_filter")
 
 
+def test_pdf_inline_images_stripped():
+    """Inline-image binary data (BI…ID…EI, §8.9.7) never reaches the text
+    tokenizer — extraction equals the image-free twin even when the data
+    contains parens, show operators, and non-delimited 'EI' byte pairs —
+    through the structured, modern (xref-stream/ObjStm + filters), and
+    salvage paths. Truncated data (no EOD) quarantines typed."""
+    lines = [f"inline image fixture line {j} words" for j in range(6)]
+    want, err = extract_pdf_text(
+        pdf_writer.build_pdf2([pdf_writer.page_ops_simple(lines)]))
+    assert err is None and want
+    ops = pdf_writer.page_ops_inline_image(lines)
+    assert extract_pdf_text(pdf_writer.build_pdf2([ops])) == (want, None)
+    modern = pdf_writer.build_pdf2([ops], filters=["/FlateDecode"],
+                                   xref_stream=True, objstm=True)
+    assert extract_pdf_text(modern) == (want, None)
+    salvage = pdf_writer.build_pdf2([ops]).replace(b"startxref", b"startxrfX")
+    assert extract_pdf_text(salvage) == (want, None)
+    truncated = pdf_writer.build_pdf2(
+        [["BT", "/F1 12 Tf", "72 720 Td", "(x) Tj", "ET",
+          "BI /W 1 /H 1 ID \x00\x01"]])
+    assert extract_pdf_text(truncated) == (None, "content_stream_parse_error")
+
+
 def test_pdf_flate_compressed_stream():
     """FlateDecode content streams decode identically to raw ones, and the
     /Length-based slicing survives `endstream` bytes inside deflate data."""
