@@ -11,6 +11,7 @@ fixtures are produced by this writer and decoded by
 
 from __future__ import annotations
 
+import re
 import zlib
 
 PAGE_W, PAGE_H = 612, 792
@@ -333,11 +334,26 @@ def _xref_stream_body(entries: list[tuple[int, int, int]],
     return zlib.compress(raw, 6), parms
 
 
+_STREAM_SPLIT_RE = re.compile(rb"stream\r?\n")
+
+
+def _encrypt_stream_obj(obj: bytes, num: int, enc) -> bytes:
+    """Cipher a serialized stream object's body for object `num` and
+    rewrite its /Length (encryption changes byte count for AES)."""
+    m = _STREAM_SPLIT_RE.search(obj)
+    body = obj[m.end():obj.rindex(b"\nendstream")]
+    ct = enc.encrypt_stream(num, 0, body)
+    head = re.sub(rb"/Length \d+", b"/Length %d" % len(ct),
+                  obj[:m.start()], count=1)
+    return head + b"stream\n" + ct + b"\nendstream"
+
+
 def build_pdf2(pages_ops: list[list[str]], compress: bool = False,
                xref_stream: bool = False, objstm: bool = False,
                predictor: int = 0, cid_font: bool = False,
                reverse_storage: bool = False,
-               filters: list[str] | None = None) -> bytes:
+               filters: list[str] | None = None,
+               encrypt: str | None = None) -> bytes:
     """PDF 1.5 assembler. Differences from build_pdf: optional cross-
     reference STREAM (W [1 3 1], type-1/2 entries, optional PNG Up
     predictor), optional /ObjStm packing of every non-stream object
@@ -403,12 +419,28 @@ def build_pdf2(pages_ops: list[list[str]], compress: bool = False,
             .encode() + b"\nstream\n" + stm_body + b"\nendstream")
         emit_dicts_toplevel = {}
 
+    enc = None
+    if encrypt:
+        from ..kernels.pdfcrypt import FixtureEncryptor
+        enc = FixtureEncryptor(encrypt)
+        # the /Encrypt dict stays top-level (its strings are the one
+        # thing never encrypted) and is referenced from the trailer
+        enc_num = max(list(dicts) + list(streams)) + 1
+        emit_dicts_toplevel[enc_num] = enc.enc
+        trailer_extra = (f" /Encrypt {enc_num} 0 R /ID ".encode()
+                         + enc.id_entry())
+    else:
+        trailer_extra = b""
+
     emit_order = sorted(list(emit_dicts_toplevel) + list(streams))
     if reverse_storage:
         emit_order = emit_order[::-1]
     for num in emit_order:
         offsets[num] = len(out)
         obj = emit_dicts_toplevel.get(num) or streams[num]
+        if enc is not None and num in streams \
+                and num not in emit_dicts_toplevel:
+            obj = _encrypt_stream_obj(obj, num, enc)
         out += f"{num} 0 obj\n".encode() + obj + b"\nendobj\n"
 
     size = max(list(offsets) + list(in_stm) + [0]) + 2
@@ -425,7 +457,8 @@ def build_pdf2(pages_ops: list[list[str]], compress: bool = False,
         entries[xref_num] = (1, xref_at, 0)
         body, parms = _xref_stream_body(entries, predictor)
         d = (f"<< /Type /XRef /Size {size} /W [1 3 1] /Root 1 0 R "
-             f"/Filter /FlateDecode /Length {len(body)}")
+             + trailer_extra.decode("latin-1")
+             + f" /Filter /FlateDecode /Length {len(body)}")
         if parms:
             d += (f" /DecodeParms << /Predictor {parms['Predictor']} "
                   f"/Columns {parms['Columns']} >>")
@@ -442,8 +475,9 @@ def build_pdf2(pages_ops: list[list[str]], compress: bool = False,
                 out += f"{offsets[num]:010d} 00000 n \n".encode()
             else:
                 out += b"0000000000 65535 f \n"
-        out += (f"trailer\n<< /Size {size} /Root 1 0 R >>\n"
-                f"startxref\n{xref_at}\n%%EOF\n").encode()
+        out += (f"trailer\n<< /Size {size} /Root 1 0 R"
+                + trailer_extra.decode("latin-1")
+                + f" >>\nstartxref\n{xref_at}\n%%EOF\n").encode()
     return bytes(out)
 
 

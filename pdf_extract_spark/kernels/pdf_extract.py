@@ -18,12 +18,20 @@ PNG predictors), compressed object streams (/ObjStm), the Catalog →
 /Pages → /Kids page tree (pages concatenate in TREE order, not file
 order), per-page /Contents arrays with indirect /Length, and composite-
 font text: a /ToUnicode CMap (codespacerange + bfchar + bfrange) decodes
-1- or 2-byte show-string codes to Unicode per the current Tf font. When
-the structure is malformed the kernel falls back to the legacy
-stream-scan salvage path; the quarantine taxonomy distinguishes
-unsupported features (`unsupported_encrypted_pdf`,
-`unsupported_stream_filter`) from malformed bytes
-(`bad_xref`/`bad_flate_stream`/`content_stream_parse_error`).
+1- or 2-byte show-string codes to Unicode per the current Tf font.
+Encrypted documents with an EMPTY user password — the dominant wild
+case: owner-password print/copy restrictions that every conforming
+reader opens transparently — decrypt via the standard security handler
+(kernels/pdfcrypt.py: RC4 R2/R3, AESV2 R4, AESV3 R5/R6). Inline images
+(BI…ID…EI) are consumed at the operator level so their binary data
+never reaches the text tokenizer. When the structure is malformed the
+kernel falls back to the legacy stream-scan salvage path (except for
+encrypted documents, where salvage could only fabricate ciphertext
+garbage → `encrypted_malformed`); the quarantine taxonomy distinguishes
+unsupported features (`unsupported_encrypted_pdf` for non-Standard
+handlers or unknown V/R/CFM, `encrypted_password_protected` for a
+non-empty user password, `unsupported_stream_filter`) from malformed
+bytes (`bad_xref`/`bad_flate_stream`/`content_stream_parse_error`).
 
 Bounded scope: content streams (raw or filtered by any chain of the five
 ISO 32000 §7.4 data filters — FlateDecode, LZWDecode, ASCIIHexDecode,
@@ -126,6 +134,26 @@ _NAME_RE = re.compile(rb"/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
 _NUM_RE = re.compile(rb"[-+]?\d*\.?\d+")
 _REF_RE = re.compile(rb"(\d+)\s+(\d+)\s+R\b")
 
+_STR_ESC_RE = re.compile(rb"\\(\r\n|\r|\n|[0-7]{1,3}|.)", re.DOTALL)
+_STR_ESC_MAP = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
+                b"f": b"\f", b"(": b"(", b")": b")", b"\\": b"\\",
+                b"\r\n": b"", b"\r": b"", b"\n": b""}
+
+
+def _unescape_str_bytes(raw: bytes) -> bytes:
+    """§7.3.4.2 literal-string escapes at the BYTE level (no charset):
+    named escapes, 1-3 digit octal, line continuations; a backslash
+    before any other byte is dropped. Needed verbatim for /O, /U and
+    /ID values feeding encryption key derivation."""
+    def sub(m: re.Match) -> bytes:
+        g = m.group(1)
+        if g in _STR_ESC_MAP:
+            return _STR_ESC_MAP[g]
+        if g[:1].isdigit() and all(c in b"01234567" for c in g):
+            return bytes([int(g, 8) & 0xFF])
+        return g
+    return _STR_ESC_RE.sub(sub, raw)
+
 
 def _parse_value(p: bytes, pos: int):
     """Recursive-descent parse of one PDF object value at `pos`.
@@ -172,7 +200,7 @@ def _parse_value(p: bytes, pos: int):
             elif b == 0x29:
                 depth -= 1
             i += 1
-        return p[pos + 1:i - 1], i
+        return _unescape_str_bytes(p[pos + 1:i - 1]), i
     if c == 0x3C:  # hex string (not <<, handled above)
         end = p.find(b">", pos)
         if end < 0:
@@ -409,9 +437,34 @@ class _Doc:
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
         self._stm_cache: dict[int, list] = {}
+        self._crypt = None
         self._load_xref_chain()
         if "Encrypt" in self.trailer:
+            self._setup_encryption()
+
+    def _setup_encryption(self) -> None:
+        """Standard security handler with the EMPTY user password — the
+        dominant wild case (owner-password restrictions only), which
+        every conforming reader decrypts transparently. Everything else
+        stays typed: a non-empty password can't be guessed in a batch
+        pipeline (`encrypted_password_protected`), non-/Standard
+        handlers and unknown V/R/CFM are `unsupported_encrypted_pdf`.
+        Runs after the xref chain (xref streams are never encrypted,
+        §7.5.8.2) and before any content/ObjStm stream is touched."""
+        from .pdfcrypt import (PasswordRequired, StandardDecryptor,
+                               UnsupportedEncryption)
+        enc = self.resolve(self.trailer.get("Encrypt"))
+        if not isinstance(enc, dict):
             raise _Unsupported("unsupported_encrypted_pdf")
+        ids = self.resolve(self.trailer.get("ID"))
+        id0 = ids[0] if isinstance(ids, list) and ids \
+            and isinstance(ids[0], bytes) else b""
+        try:
+            self._crypt = StandardDecryptor(enc, id0)
+        except PasswordRequired as e:
+            raise _Unsupported(e.args[0]) from e
+        except UnsupportedEncryption as e:
+            raise _Unsupported("unsupported_encrypted_pdf") from e
 
     # -- xref -----------------------------------------------------------
     def _load_xref_chain(self) -> None:
@@ -512,7 +565,10 @@ class _Doc:
         return raw
 
     def _parse_stream_at(self, pos: int) -> tuple[dict, bytes]:
-        """Parse `N G obj << dict >> stream...` at pos; return decoded body."""
+        """Parse `N G obj << dict >> stream...` at pos; return decoded body.
+        Decryption (when the document is encrypted) applies to the raw
+        bytes BEFORE the /Filter chain, keyed by the object number/
+        generation from the header; xref streams are exempt (§7.5.8.2)."""
         p = self.p
         m = self._OBJ_HDR_RE.match(p, _skip_ws(p, pos))
         start = m.end() if m else pos
@@ -526,7 +582,14 @@ class _Doc:
         if not isinstance(length, int) or length < 0 \
                 or sm.end() + length > len(p):
             raise _Malformed("stream length")
-        return d, self._decode_stream(d, p[sm.end():sm.end() + length])
+        raw = p[sm.end():sm.end() + length]
+        if self._crypt is not None and m and d.get("Type") != "/XRef":
+            try:
+                raw = self._crypt.decrypt_stream(
+                    int(m.group(1)), int(m.group(2)), raw)
+            except ValueError as e:
+                raise _Malformed("encrypted stream") from e
+        return d, self._decode_stream(d, raw)
 
     def resolve(self, v: object):
         while isinstance(v, _Ref):
@@ -1032,6 +1095,11 @@ def extract_pdf_text(payload: bytes) -> tuple[str | None, str | None]:
     except _Unsupported as e:
         return None, e.args[0]
     except _Malformed:
+        if b"/Encrypt" in payload:
+            # the salvage scanner has no object numbers, so it can only
+            # ever emit ciphertext garbage for an encrypted document —
+            # quarantine typed instead of fabricating text
+            return None, "encrypted_malformed"
         return _extract_scan(payload)
     except Exception:
         return None, "content_stream_parse_error"

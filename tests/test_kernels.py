@@ -312,6 +312,106 @@ def test_pdf_filter_malformed_and_unsupported():
         == (None, "unsupported_stream_filter")
 
 
+def test_aes_rc4_published_vectors():
+    """FIPS-197 Appendix C block vectors (128/192/256), CBC encrypt/
+    decrypt round-trips (the decrypt side is the numpy-vectorized
+    path), and the classic RC4 test strings."""
+    import random
+
+    from pdf_extract_spark.kernels import pdfcrypt as pc
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    for klen, want in ((16, "69c4e0d86a7b0430d8cdb78070b4c55a"),
+                       (24, "dda97ca4864cdfe06eaf70a0ec0d7191"),
+                       (32, "8ea2b7ca516745bfeafc49904b496089")):
+        key = bytes(range(klen))
+        assert pc.aes_encrypt_block(pc._expand_key(key), pt).hex() == want
+    rnd = random.Random(20260819)
+    for klen in (16, 32):
+        key = bytes(rnd.randrange(256) for _ in range(klen))
+        iv = bytes(rnd.randrange(256) for _ in range(16))
+        for n in (16, 160, 4096):
+            data = bytes(rnd.randrange(256) for _ in range(n))
+            ct = pc.aes_cbc_encrypt(key, iv, data)
+            assert ct != data and pc.aes_cbc_decrypt(key, iv, ct) == data
+    assert pc.rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+    assert pc.rc4(b"Wiki", b"pedia").hex() == "1021bf0420"
+
+
+_ENCRYPT_MODES = ("rc4-40", "rc4-128", "aesv2", "aesv3")
+
+
+def test_pdf_encrypted_byte_identical():
+    """Standard-security-handler PDFs with an EMPTY user password (the
+    dominant wild case) extract byte-identically to the plain twin for
+    all four wild handler shapes — R2/RC4-40, R3/RC4-128, R4/AESV2,
+    R6/AESV3 — through the classic-xref, modern (xref stream + ObjStm +
+    flate), and filter-chain paths."""
+    pgs = [pdf_writer.page_ops_simple(
+               [f"encrypted fixture line {j} words" for j in range(8)]),
+           pdf_writer.page_ops_two_column(
+               [f"left {j}" for j in range(4)],
+               [f"right {j}" for j in range(4)])]
+    want, err = extract_pdf_text(pdf_writer.build_pdf2(pgs))
+    assert err is None and want
+    for mode in _ENCRYPT_MODES:
+        plain = pdf_writer.build_pdf2(pgs, encrypt=mode)
+        assert extract_pdf_text(plain) == (want, None), mode
+        modern = pdf_writer.build_pdf2(pgs, encrypt=mode, compress=True,
+                                       xref_stream=True, objstm=True)
+        assert extract_pdf_text(modern) == (want, None), mode
+        chained = pdf_writer.build_pdf2(
+            pgs, encrypt=mode, filters=["/ASCII85Decode", "/FlateDecode"])
+        assert extract_pdf_text(chained) == (want, None), mode
+
+
+def test_pdf_encrypted_taxonomy():
+    """Typed quarantine for encryption: a non-empty user password is
+    encrypted_password_protected (distinct from structurally
+    unsupported handlers), an unknown crypt method stays
+    unsupported_encrypted_pdf, and corrupted ciphertext quarantines
+    rather than crashing."""
+    pgs = [pdf_writer.page_ops_simple(["secret line"])]
+    enc = pdf_writer.build_pdf2(pgs, encrypt="rc4-128")
+    # breaking /U breaks empty-password authentication; same-length
+    # patch keeps xref offsets valid
+    u_hex = __import__("re").search(rb"/U <([0-9a-f]{64})>", enc).group(1)
+    flip = (b"00" if u_hex[:2] != b"00" else b"01") + u_hex[2:]
+    assert extract_pdf_text(enc.replace(u_hex, flip)) \
+        == (None, "encrypted_password_protected")
+    aes = pdf_writer.build_pdf2(pgs, encrypt="aesv2")
+    assert extract_pdf_text(aes.replace(b"/CFM /AESV2", b"/CFM /AESXX")) \
+        == (None, "unsupported_encrypted_pdf")
+    # corrupt ciphertext: a non-block-multiple AES stream (/Length
+    # shortened by one, same byte width) must quarantine typed — the
+    # salvage scanner can only emit ciphertext garbage for an
+    # encrypted doc, so it must never run
+    lm = __import__("re").search(rb"/Length (\d\d+)", aes)
+    shorter = str(int(lm.group(1)) - 1).encode().rjust(len(lm.group(1)),
+                                                       b"0")
+    corrupt = aes[:lm.start(1)] + shorter + aes[lm.end(1):]
+    assert extract_pdf_text(corrupt) == (None, "encrypted_malformed")
+    # IV corruption (first ciphertext byte) garbles only CBC block one
+    # — positioning ops — and a conforming reader still extracts the
+    # text; assert we do too rather than quarantining
+    m = __import__("re").search(rb"stream\r?\n", aes)
+    b0 = m.end()
+    iv_hit = aes[:b0] + bytes([aes[b0] ^ 0xFF]) + aes[b0 + 1:]
+    assert extract_pdf_text(iv_hit)[0] == "secret line"
+
+
+def test_pdf_literal_string_escapes():
+    """_parse_value unescapes literal strings at the byte level (octal,
+    named escapes, line continuations) — required for /O //U key
+    material carried as literal strings in real PDFs."""
+    from pdf_extract_spark.kernels.pdf_extract import _parse_value
+    raw = b"(a\\050b\\\\c\\nd\\\r\ne)"  # \050 octal, \\, \n, line cont.
+    v, _ = _parse_value(raw, 0)
+    assert v == b"a(b\\c\nde"
+    v, _ = _parse_value(b"(\\101\\12\\1x\\q)", 0)  # octal forms + \q -> q
+    assert v == b"A\n\x01xq"
+
+
 def test_pdf_inline_images_stripped():
     """Inline-image binary data (BI…ID…EI, §8.9.7) never reaches the text
     tokenizer — extraction equals the image-free twin even when the data
