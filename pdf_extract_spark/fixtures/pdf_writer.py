@@ -244,6 +244,39 @@ def page_ops_inline_image(lines: list[str]) -> list[str]:
     return ops
 
 
+def encode_simple(text: str, base: str | None,
+                  differences: list | None) -> str:
+    """Encode unicode text into the byte codes of a simple-font
+    encoding (inverse of the kernel's effective table), returned as
+    latin-1 chars ready for a literal string in a content stream.
+    Raises KeyError for unencodable characters — fixtures must stay
+    within the declared encoding."""
+    from ..kernels.pdfenc import build_encoding
+    diffs = None
+    if differences is not None:
+        diffs = [d if isinstance(d, int) else "/" + d
+                 for d in differences]
+    tbl = build_encoding(base, diffs)
+    inv: dict[str, int] = {}
+    for code, ch in enumerate(tbl):
+        if ch and ch not in inv:
+            inv[ch] = code
+    return "".join(chr(inv[c]) for c in text)
+
+
+def page_ops_simple_enc(lines: list[str], base: str | None,
+                        differences: list | None) -> list[str]:
+    """One-column page in the /F3 encoded simple font: unicode lines are
+    byte-encoded through the declared base+differences table."""
+    ops = ["BT", f"/F3 {FONT_SIZE} Tf", f"{LEFT} {TOP} Td"]
+    for i, line in enumerate(lines):
+        if i:
+            ops.append(f"0 -{LEADING} TD")
+        ops.append(f"({_esc(encode_simple(line, base, differences))}) Tj")
+    ops.append("ET")
+    return ops
+
+
 def page_ops_quote_hex(lines: list[str]) -> list[str]:
     """Exercise TL leading + the ' (next-line-show) operator and hex-string
     arguments: odd lines as hex strings, even as literals."""
@@ -353,7 +386,8 @@ def build_pdf2(pages_ops: list[list[str]], compress: bool = False,
                predictor: int = 0, cid_font: bool = False,
                reverse_storage: bool = False,
                filters: list[str] | None = None,
-               encrypt: str | None = None) -> bytes:
+               encrypt: str | None = None,
+               simple_enc: tuple | None = None) -> bytes:
     """PDF 1.5 assembler. Differences from build_pdf: optional cross-
     reference STREAM (W [1 3 1], type-1/2 entries, optional PNG Up
     predictor), optional /ObjStm packing of every non-stream object
@@ -367,10 +401,12 @@ def build_pdf2(pages_ops: list[list[str]], compress: bool = False,
     n_pages = len(pages_ops)
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
     f1_num = 3 + 2 * n_pages
-    f2_num, cmap_num = f1_num + 1, f1_num + 2
+    f2_num, cmap_num, f3_num = f1_num + 1, f1_num + 2, f1_num + 3
     font_res = f"/F1 {f1_num} 0 R"
     if cid_font:
         font_res += f" /F2 {f2_num} 0 R"
+    if simple_enc is not None:
+        font_res += f" /F3 {f3_num} 0 R"
 
     dicts: dict[int, bytes] = {
         1: b"<< /Type /Catalog /Pages 2 0 R >>",
@@ -378,6 +414,20 @@ def build_pdf2(pages_ops: list[list[str]], compress: bool = False,
             .encode()),
         f1_num: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
     }
+    if simple_enc is not None:
+        base, differences = simple_enc
+        if differences is None:
+            enc_val = f"/{base}"
+        else:
+            parts = [str(d) if isinstance(d, int) else "/" + d
+                     for d in differences]
+            enc_val = "<< "
+            if base:
+                enc_val += f"/BaseEncoding /{base} "
+            enc_val += "/Differences [" + " ".join(parts) + "] >>"
+        dicts[f3_num] = (
+            f"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            f"/Encoding {enc_val} >>").encode()
     streams: dict[int, bytes] = {}
     for i, ops in enumerate(pages_ops):
         dicts[3 + 2 * i] = (

@@ -719,20 +719,35 @@ class _CMap:
         return "".join(out)
 
 
-def _page_fonts(doc: _Doc, page: dict) -> dict[str, _CMap]:
-    """Resolve the page's /Resources /Font entries to ToUnicode CMaps
-    (fonts without one decode as latin-1, the simple-font path)."""
-    fonts: dict[str, _CMap] = {}
+def _page_fonts(doc: _Doc, page: dict):
+    """Resolve the page's /Resources /Font entries to decoders: an
+    explicit /ToUnicode CMap wins (§9.10.2); otherwise a simple-font
+    /Encoding (base name or dict with /BaseEncoding + /Differences,
+    §9.6.6) builds a 256-entry byte table; fonts with neither decode
+    as latin-1 (the font's built-in encoding, identity here)."""
+    from .pdfenc import SimpleEnc, build_encoding
+    fonts: dict[str, object] = {}
     res = doc.resolve(page.get("Resources")) or {}
     fdict = doc.resolve(res.get("Font")) if isinstance(res, dict) else None
     if not isinstance(fdict, dict):
         return fonts
     for name, ref in fdict.items():
         fobj = doc.resolve(ref)
-        if isinstance(fobj, dict):
-            tu = doc.resolve(fobj.get("ToUnicode"))
-            if isinstance(tu, tuple):
-                fonts[name] = _CMap(tu[1])
+        if not isinstance(fobj, dict):
+            continue
+        tu = doc.resolve(fobj.get("ToUnicode"))
+        if isinstance(tu, tuple):
+            fonts[name] = _CMap(tu[1])
+            continue
+        enc = doc.resolve(fobj.get("Encoding"))
+        if isinstance(enc, str):
+            fonts[name] = SimpleEnc(build_encoding(enc[1:], None))
+        elif isinstance(enc, dict):
+            base = doc.resolve(enc.get("BaseEncoding"))
+            diffs = doc.resolve(enc.get("Differences"))
+            fonts[name] = SimpleEnc(build_encoding(
+                base[1:] if isinstance(base, str) else None,
+                diffs if isinstance(diffs, list) else None))
     return fonts
 
 

@@ -412,6 +412,64 @@ def test_pdf_literal_string_escapes():
     assert v == b"A\n\x01xq"
 
 
+def test_pdf_simple_font_encodings():
+    """Simple-font /Encoding tables (§9.6.6 + Annex D): WinAnsi,
+    MacRoman and Standard map byte codes to the right unicode, and a
+    /Differences array remaps individual codes (consecutive-name
+    semantics, uniXXXX forms, letter+diacritic composites). The fixture
+    encodes through the INVERSE table, so any per-byte infidelity in
+    either direction breaks round-trip identity. Also held under
+    encryption + modern structure, and ToUnicode precedence intact."""
+    win = ["café naïve — “quoted” résumé", "prix: 12 € — Möbius™ • ½"]
+    pdf = pdf_writer.build_pdf2(
+        [pdf_writer.page_ops_simple_enc(win, "WinAnsiEncoding", None)],
+        simple_enc=("WinAnsiEncoding", None))
+    assert extract_pdf_text(pdf) == ("\n".join(win), None)
+
+    mac = ["café — “déjà vu” • ¶ ﬁnal"]
+    pdf = pdf_writer.build_pdf2(
+        [pdf_writer.page_ops_simple_enc(mac, "MacRomanEncoding", None)],
+        simple_enc=("MacRomanEncoding", None))
+    assert extract_pdf_text(pdf) == (mac[0], None)
+
+    std = ["it’s a ‘test’ of fi ligature ﬁ"]
+    pdf = pdf_writer.build_pdf2(
+        [pdf_writer.page_ops_simple_enc(std, "StandardEncoding", None)],
+        simple_enc=("StandardEncoding", None))
+    assert extract_pdf_text(pdf) == (std[0], None)
+
+    diffs = [200, "eacute", "trademark", "uni0394", 65, "bullet"]
+    dl = ["é™Δ at high codes", "• is code 65 now"]
+    pdf = pdf_writer.build_pdf2(
+        [pdf_writer.page_ops_simple_enc(dl, "WinAnsiEncoding", diffs)],
+        simple_enc=("WinAnsiEncoding", diffs))
+    assert extract_pdf_text(pdf) == ("\n".join(dl), None)
+
+    enc = pdf_writer.build_pdf2(
+        [pdf_writer.page_ops_simple_enc(
+            ["café — “ok” ™"], "WinAnsiEncoding", None)],
+        simple_enc=("WinAnsiEncoding", None), encrypt="aesv2",
+        xref_stream=True, objstm=True, compress=True)
+    assert extract_pdf_text(enc) == ("café — “ok” ™", None)
+
+
+def test_pdf_glyph_name_resolution():
+    """AGL-convention names resolve; unknown names keep the base table
+    value instead of silently deleting the character."""
+    from pdf_extract_spark.kernels.pdfenc import (build_encoding,
+                                                  glyph_to_unicode)
+    assert glyph_to_unicode("eacute") == "é"
+    assert glyph_to_unicode("Ntilde") == "Ñ"
+    assert glyph_to_unicode("udieresis") == "ü"
+    assert glyph_to_unicode("uni20AC") == "€"
+    assert glyph_to_unicode("u1F600") == "😀"
+    assert glyph_to_unicode("quotesinglbase") == "‚"
+    assert glyph_to_unicode("nosuchglyphname") is None
+    tbl = build_encoding("WinAnsiEncoding",
+                         [65, "/nosuchglyphname", "/eacute"])
+    assert tbl[65] == "A" and tbl[66] == "é"  # unknown kept, next applied
+
+
 def test_pdf_inline_images_stripped():
     """Inline-image binary data (BI…ID…EI, §8.9.7) never reaches the text
     tokenizer — extraction equals the image-free twin even when the data
