@@ -387,7 +387,9 @@ def build_pdf2(pages_ops: list[list[str]], compress: bool = False,
                reverse_storage: bool = False,
                filters: list[str] | None = None,
                encrypt: str | None = None,
-               simple_enc: tuple | None = None) -> bytes:
+               simple_enc: tuple | None = None,
+               forms: dict[str, tuple] | None = None,
+               inherit_resources: bool = False) -> bytes:
     """PDF 1.5 assembler. Differences from build_pdf: optional cross-
     reference STREAM (W [1 3 1], type-1/2 entries, optional PNG Up
     predictor), optional /ObjStm packing of every non-stream object
@@ -429,11 +431,38 @@ def build_pdf2(pages_ops: list[list[str]], compress: bool = False,
             f"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
             f"/Encoding {enc_val} >>").encode()
     streams: dict[int, bytes] = {}
+    xobj_res = ""
+    if forms:
+        # /Form XObjects: (ops, matrix-6-tuple|None, own_resources).
+        # own_resources=False exercises the caller-resource fallback.
+        fm_base = f1_num + 4
+        xents = []
+        for i, (nm, (fops, matrix, own_res)) in enumerate(
+                sorted(forms.items())):
+            num = fm_base + i
+            xents.append(f"/{nm} {num} 0 R")
+            body = "\n".join(fops).encode("latin-1", errors="replace")
+            d = (f"<< /Type /XObject /Subtype /Form "
+                 f"/BBox [0 0 {PAGE_W} {PAGE_H}]")
+            if matrix:
+                d += " /Matrix [" + " ".join(str(v) for v in matrix) + "]"
+            if own_res:
+                d += f" /Resources << /Font << /F1 {f1_num} 0 R >> >>"
+            d += f" /Length {len(body)} >>"
+            streams[num] = d.encode() + b"\nstream\n" + body \
+                + b"\nendstream"
+        xobj_res = " /XObject << " + " ".join(xents) + " >>"
+    res_str = f"/Resources << /Font << {font_res} >>{xobj_res} >>"
+    if inherit_resources:
+        # the page-tree node carries /Resources; leaves inherit it
+        dicts[2] = (f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} "
+                    + res_str + " >>").encode()
     for i, ops in enumerate(pages_ops):
-        dicts[3 + 2 * i] = (
-            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W} "
-            f"{PAGE_H}] /Contents {4 + 2 * i} 0 R /Resources "
-            f"<< /Font << {font_res} >> >> >>").encode()
+        page_d = (f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W} "
+                  f"{PAGE_H}] /Contents {4 + 2 * i} 0 R")
+        if not inherit_resources:
+            page_d += " " + res_str
+        dicts[3 + 2 * i] = (page_d + " >>").encode()
         streams[4 + 2 * i] = _content_stream(ops, compress=compress,
                                              filters=filters)
     if cid_font:

