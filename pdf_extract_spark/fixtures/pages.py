@@ -91,13 +91,25 @@ def make_html(i: int, lang: str, oversized: bool = False) -> bytes:
     return html.encode("utf-8")
 
 
-FIXTURE_VERSION = 3  # bump when payload synthesis changes (bench caches key on it)
+FIXTURE_VERSION = 4  # bump when payload synthesis changes (bench caches key on it)
+
+_ENC_MODES = ("rc4-40", "rc4-128", "aesv2", "aesv3")
+_FILTER_ROTATION = (["/LZWDecode"], ["/ASCII85Decode", "/FlateDecode"],
+                    ["/RunLengthDecode", "/FlateDecode"],
+                    ["/ASCIIHexDecode"])
 
 
 def make_pdf(i: int, lang: str) -> bytes:
-    """Rotate through page shapes so every layout path is exercised;
-    every other PDF is FlateDecode-compressed."""
-    kind = _h(i, "pdfkind") % 5
+    """Rotate through page shapes AND wild document features so every
+    kernel path is exercised at pipeline level, not just in unit
+    goldens: layout kinds 0-4 (classic assembler, as before), then
+    5 encrypted (all four standard-security-handler shapes),
+    6 simple-font /Encoding with accented text (+/Differences),
+    7 /Form XObjects placed via cm or /Matrix with inherited resources,
+    8 modern structure (xref stream + ObjStm + reversed storage) under
+    rotating §7.4 filter chains. Every other classic PDF is
+    FlateDecode-compressed."""
+    kind = _h(i, "pdfkind") % 9
     compress = _h(i, "pdfz") % 2 == 0
     lines1 = [_sentence(i, j, "en") for j in range(6)]
     if kind == 0:
@@ -115,9 +127,44 @@ def make_pdf(i: int, lang: str) -> bytes:
         rows = [[f"row{j}", str(10 * j + i % 10), f"{(j + 1)}.5"] for j in range(4)]
         pages = [pdf_writer.page_ops_table(header, rows),
                  pdf_writer.page_ops_tj_array([["kerned", -800, "words", -900, "here"]])]
-    else:
+    elif kind == 4:
         pages = [pdf_writer.page_ops_quote_hex(
             [_sentence(i, 20 + j, "en") for j in range(5)])]
+    elif kind == 5:
+        mode = _ENC_MODES[_h(i, "encmode") % len(_ENC_MODES)]
+        return pdf_writer.build_pdf2(
+            [pdf_writer.page_ops_simple(lines1)], encrypt=mode,
+            compress=compress)
+    elif kind == 6:
+        base = ("WinAnsiEncoding", "MacRomanEncoding")[_h(i, "encb") % 2]
+        diffs = [200, "eacute", "uni2014"] if _h(i, "encd") % 2 else None
+        elines = [_sentence(i, 30 + j, ("fr", "de")[_h(i, "encl") % 2])
+                  for j in range(5)]
+        return pdf_writer.build_pdf2(
+            [pdf_writer.page_ops_simple_enc(elines, base, diffs)],
+            simple_enc=(base, diffs), compress=compress)
+    elif kind == 7:
+        fs, lead, left, top = (pdf_writer.FONT_SIZE, pdf_writer.LEADING,
+                               pdf_writer.LEFT, pdf_writer.TOP)
+        form_ops = ["BT", f"/F1 {fs} Tf", "0 0 Td",
+                    f"({_sentence(i, 40, 'en')}) Tj", "ET"]
+        body = ["BT", f"/F1 {fs} Tf", f"{left} {top} Td",
+                f"({_sentence(i, 41, 'en')}) Tj", "ET"]
+        y = top - lead
+        if _h(i, "formp") % 2:
+            body += ["q", f"1 0 0 1 {left} {y} cm", "/Fm1 Do", "Q"]
+            forms = {"Fm1": (form_ops, None, True)}
+        else:
+            body += ["/Fm1 Do"]
+            forms = {"Fm1": (form_ops, (1, 0, 0, 1, left, y), False)}
+        return pdf_writer.build_pdf2([body], forms=forms,
+                                     inherit_resources=True)
+    else:
+        filters = _FILTER_ROTATION[_h(i, "filt") % len(_FILTER_ROTATION)]
+        return pdf_writer.build_pdf2(
+            [pdf_writer.page_ops_simple(lines1)], filters=filters,
+            xref_stream=True, objstm=True,
+            reverse_storage=_h(i, "rev") % 2 == 0)
     return pdf_writer.build_pdf(pages, compress=compress)
 
 
@@ -130,13 +177,18 @@ def make_payload(i: int) -> tuple[bytes, str]:
         return make_html(i, lang, oversized=oversized), lang
     if r < 95:
         return make_pdf(i, lang), lang
-    adv = _h(i, "adv") % 4
+    adv = _h(i, "adv") % 5
     if adv == 0:
         return b"", lang
     if adv == 1:
         return b"%PDF-1.4\nbroken", lang           # truncated: no %%EOF
     if adv == 2:
         return b"<html><body>\xff\xfe bad bytes</body></html>", lang
+    if adv == 3:
+        # genuinely password-protected: quarantines typed, never decodes
+        return pdf_writer.build_pdf2(
+            [pdf_writer.page_ops_simple(["locked content"])],
+            encrypt="rc4-128", encrypt_user_pw=b"not-empty"), lang
     return make_html(i, lang, oversized=True), lang  # oversized tail
 
 

@@ -389,7 +389,8 @@ def build_pdf2(pages_ops: list[list[str]], compress: bool = False,
                encrypt: str | None = None,
                simple_enc: tuple | None = None,
                forms: dict[str, tuple] | None = None,
-               inherit_resources: bool = False) -> bytes:
+               inherit_resources: bool = False,
+               encrypt_user_pw: bytes = b"") -> bytes:
     """PDF 1.5 assembler. Differences from build_pdf: optional cross-
     reference STREAM (W [1 3 1], type-1/2 entries, optional PNG Up
     predictor), optional /ObjStm packing of every non-stream object
@@ -501,7 +502,7 @@ def build_pdf2(pages_ops: list[list[str]], compress: bool = False,
     enc = None
     if encrypt:
         from ..kernels.pdfcrypt import FixtureEncryptor
-        enc = FixtureEncryptor(encrypt)
+        enc = FixtureEncryptor(encrypt, user_pw=encrypt_user_pw)
         # the /Encrypt dict stays top-level (its strings are the one
         # thing never encrypted) and is referenced from the trailer
         enc_num = max(list(dicts) + list(streams)) + 1

@@ -436,13 +436,16 @@ class FixtureEncryptor:
     _ID0 = bytes(range(16))
     _OWNER = b"fixture-owner-password"
 
-    def __init__(self, mode: str) -> None:
+    def __init__(self, mode: str, user_pw: bytes = b"") -> None:
+        """user_pw other than b'' produces a genuinely password-
+        protected document (V2/R3 modes) for quarantine fixtures."""
         self.mode = mode
         p = -44  # print allowed, modify/copy denied — a typical wild P
         if mode == "rc4-40":
             okey = hashlib.md5(_pad_pw(self._OWNER)).digest()[:5]
-            self.o = rc4(okey, _pad_pw(b""))
-            self.key = _alg2_file_key(b"", self.o, p, self._ID0, 2, 5, True)
+            self.o = rc4(okey, _pad_pw(user_pw))
+            self.key = _alg2_file_key(user_pw, self.o, p, self._ID0, 2, 5,
+                                      True)
             self.u = _alg4_5_u(self.key, 2, self._ID0)
             self.enc = (b"<< /Filter /Standard /V 1 /R 2 /Length 40 /P "
                         + str(p).encode() + b" /O " + _hexs(self.o)
@@ -452,12 +455,12 @@ class FixtureEncryptor:
             okey = hashlib.md5(_pad_pw(self._OWNER)).digest()
             for _ in range(50):
                 okey = hashlib.md5(okey).digest()
-            o = rc4(okey[:16], _pad_pw(b""))
+            o = rc4(okey[:16], _pad_pw(user_pw))
             for i in range(1, 20):
                 o = rc4(bytes(b ^ i for b in okey[:16]), o)
             self.o = o
             r = 3 if mode == "rc4-128" else 4
-            self.key = _alg2_file_key(b"", o, p, self._ID0, r, 16, True)
+            self.key = _alg2_file_key(user_pw, o, p, self._ID0, r, 16, True)
             self.u = _alg4_5_u(self.key, r, self._ID0)
             if mode == "rc4-128":
                 self.enc = (b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P "

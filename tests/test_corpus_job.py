@@ -121,14 +121,19 @@ def test_misdeclared_lang_quarantined_at_classify(job, spark):
     urls = {r["url"] for r in rows}
     plants = {f"https://misdecl{m}.example.com/a" for m in range(N_MISDECL)}
     assert plants <= urls  # recall on the planted mislabels
-    assert all(r["error"] == "lang_mismatch:en" for r in rows)
-    # precision: every non-plant flag is a fixture-misdeclared PDF
-    # (declared non-en, %PDF- payload whose text is English)
+    assert all(r["error"].startswith("lang_mismatch:") for r in rows)
+    # precision: every non-plant flag is a fixture-misdeclared PDF —
+    # a %PDF- payload whose PREDICTED language (carried in the error)
+    # differs from the declared one. make_pdf emits en text for layout
+    # kinds and fr/de text for the encoded kind, always independent of
+    # the declared lang, so any flagged PDF is a genuine fixture label
+    # bug; no HTML page (whose declared lang is honest) may be flagged.
+    by_url = {r["url"]: r["error"].split(":", 1)[1] for r in rows}
     idx = [int(u.rsplit("/", 1)[1]) for u in urls - plants]
     assert idx, "the fixture's real label bugs should be caught too"
-    for i, (_, _, payload, _, lang) in zip(sorted(idx),
+    for i, (u, _, payload, _, lang) in zip(sorted(idx),
                                            make_rows_at(sorted(idx))):
-        assert lang != "en" and payload[:5] == b"%PDF-", i
+        assert payload[:5] == b"%PDF-" and by_url[u] != lang, i
 
 
 def test_planted_near_dups_collapse(job, spark):
