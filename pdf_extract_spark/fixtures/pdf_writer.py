@@ -277,6 +277,26 @@ def page_ops_simple_enc(lines: list[str], base: str | None,
     return ops
 
 
+def page_ops_text_state(lines: list[str]) -> list[str]:
+    """Exercise Tc/Tw/Tz/Ts (§9.3.1): char spacing widens glyph
+    advances, word spacing widens space advances, horizontal scaling
+    compresses them, rise superscripts within the same visual line —
+    all while keeping inter-word gaps above GAP_FACTOR and line pitch
+    above Y_TOL so extracted text equals the plain twin."""
+    ops = ["BT", f"/F1 {FONT_SIZE} Tf", f"{LEFT} {TOP} Td",
+           "0.4 Tc", "2.5 Tw", "90 Tz"]
+    for i, line in enumerate(lines):
+        if i:
+            ops.append(f"0 -{LEADING} TD")
+        if i % 2:
+            ops.append("1.5 Ts")   # small rise: same line within Y_TOL
+        else:
+            ops.append("0 Ts")
+        ops.append(f"({_esc(line)}) Tj")
+    ops.append("ET")
+    return ops
+
+
 def page_ops_quote_hex(lines: list[str]) -> list[str]:
     """Exercise TL leading + the ' (next-line-show) operator and hex-string
     arguments: odd lines as hex strings, even as literals."""

@@ -889,6 +889,8 @@ def _parse_spans(stream: bytes,
     size = 12.0
     tm = lm = _ID6
     leading = 0.0
+    char_sp = word_sp = rise = 0.0   # Tc / Tw / Ts (§9.3.1)
+    hscale = 1.0                     # Tz, stored as fraction
     ctm_stack: list[tuple] = []
     stack: list = []           # operand stack
     in_array = False
@@ -899,13 +901,19 @@ def _parse_spans(stream: bytes,
         return cmap.decode(s.encode("latin-1")) if cmap else s
 
     def emit(s: str) -> None:
+        # advance model (§9.4.4, on the kernel's CHAR_W glyph-width
+        # estimate): w = (Σ glyph widths + Tc·n + Tw·spaces) · Tz;
+        # Ts displaces the rendered position vertically but not the
+        # advance. Defaults (0/0/100%/0) reduce to the plain estimate.
         nonlocal tm
         s = show(s)
         if s:
-            trm = _mat_mul(tm, ctm)
+            trm = _mat_mul(_mat_translate(0.0, rise, tm), ctm)
             spans.append(_Span(trm[4], trm[5],
                                size * _mat_scale(trm), s))
-            tm = _mat_translate(CHAR_W * size * len(s), 0.0, tm)
+            w = (CHAR_W * size * len(s) + char_sp * len(s)
+                 + word_sp * s.count(" ")) * hscale
+            tm = _mat_translate(w, 0.0, tm)
 
     pos = 0
     while True:
@@ -985,6 +993,18 @@ def _parse_spans(stream: bytes,
             elif op == "TL" and stack:
                 leading = float(stack[-1])
                 stack = []
+            elif op == "Tc" and stack:
+                char_sp = float(stack[-1])
+                stack = []
+            elif op == "Tw" and stack:
+                word_sp = float(stack[-1])
+                stack = []
+            elif op == "Tz" and stack:
+                hscale = float(stack[-1]) / 100.0
+                stack = []
+            elif op == "Ts" and stack:
+                rise = float(stack[-1])
+                stack = []
             elif op == "T*":
                 lm = _mat_translate(0.0, -leading, lm)
                 tm = lm
@@ -1007,7 +1027,8 @@ def _parse_spans(stream: bytes,
                             emit(item)
                         else:
                             tm = _mat_translate(
-                                -float(item) / 1000.0 * size, 0.0, tm)
+                                -float(item) / 1000.0 * size * hscale,
+                                0.0, tm)
                 stack = []
             elif op == "cm" and len(stack) >= 6:
                 try:

@@ -525,6 +525,32 @@ def test_pdf_form_xobjects_and_graphics_state():
     assert err is None and text.startswith("base")
 
 
+def test_pdf_text_state_operators():
+    """Tc/Tw/Tz change advances and Ts displaces within the line; text
+    still groups into the same words and lines as the unstyled twin.
+    A large Tz compression that pulls two Tj spans together must merge
+    them into one word (the advance model honors the scale)."""
+    lines = [f"text state line {j} words here" for j in range(5)]
+    want, err = extract_pdf_text(
+        pdf_writer.build_pdf2([pdf_writer.page_ops_simple(lines)]))
+    assert err is None and want
+    styled = pdf_writer.build_pdf2(
+        [pdf_writer.page_ops_text_state(lines)])
+    assert extract_pdf_text(styled) == (want, None)
+    # two consecutive shows: at Tz 100 the first advance clears
+    # GAP_FACTOR and splits the word; at Tz 25 it compresses to a
+    # quarter and the spans must merge
+    def two_shows(tz: int) -> str:
+        ops = ["BT", "/F1 12 Tf", "72 720 Td", f"{tz} Tz",
+               "(AB) Tj", "(CD) Tj", "ET"]
+        t, e = extract_pdf_text(pdf_writer.build_pdf2([ops]))
+        assert e is None
+        return t
+    assert two_shows(100) == "ABCD"   # exact advance: zero gap
+    assert two_shows(400) == "AB CD"  # stretched: gap appears
+    assert two_shows(25) == "ABCD"    # compressed: still merged
+
+
 def test_pdf_inline_images_stripped():
     """Inline-image binary data (BI…ID…EI, §8.9.7) never reaches the text
     tokenizer — extraction equals the image-free twin even when the data
