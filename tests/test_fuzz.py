@@ -84,6 +84,33 @@ def test_pdf_parser_never_crashes_on_corrupt_streams(payload):
     assert decode_payload(body) == (text, err)
 
 
+@given(st.sampled_from(["rc4-40", "rc4-128", "aesv2", "aesv3"]),
+       st.sampled_from([None, ["/LZWDecode"],
+                        ["/ASCII85Decode", "/FlateDecode"],
+                        ["/RunLengthDecode"], ["/ASCIIHexDecode"]]),
+       st.integers(0, 6000), st.integers(0, 255))
+@settings(max_examples=200, derandomize=True, deadline=None)
+def test_pdf_wild_features_never_crash_under_mutation(mode, filters,
+                                                      pos, byte):
+    """Single-byte mutations of VALID encrypted/filtered/form PDFs must
+    quarantine or extract — never raise (the error-row contract that
+    keeps one bad crawl doc from killing a 10^12-doc task). Covers the
+    crypto handshake (O/U/ID bytes), ciphertext, filter streams, and
+    xref machinery, wherever the mutation lands."""
+    from pdf_extract_spark.fixtures import pdf_writer
+    from pdf_extract_spark.kernels.decode import decode_payload
+
+    base = pdf_writer.build_pdf2(
+        [pdf_writer.page_ops_simple(["fuzzed line one", "and two"])],
+        encrypt=mode, filters=filters,
+        xref_stream=(pos % 2 == 0), objstm=(pos % 3 == 0))
+    i = pos % len(base)
+    mut = base[:i] + bytes([byte]) + base[i + 1:]
+    text, err = decode_payload(mut)
+    assert (text is None) != (err is None), (mode, filters, i, byte)
+    assert decode_payload(mut) == (text, err)
+
+
 @given(
     st.text(alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FFF),
             max_size=2000),
