@@ -230,6 +230,20 @@ def _unpredict(data: bytes, parms: dict) -> bytes:
     pred = int(parms.get("Predictor", 1))
     if pred == 1:
         return data
+    if pred == 2:
+        # TIFF horizontal differencing (8-bit components): each byte is
+        # a delta against the same component Colors bytes to the left,
+        # row-independent at Columns·Colors bytes per row
+        cols = int(parms.get("Columns", 1)) * int(parms.get("Colors", 1))
+        if cols <= 0 or len(data) % cols:
+            raise _Malformed("predictor row size")
+        row_len = cols
+        out = bytearray(data)
+        comp = int(parms.get("Colors", 1))
+        for r in range(0, len(out), row_len):
+            for i in range(comp, row_len):
+                out[r + i] = (out[r + i] + out[r + i - comp]) & 0xFF
+        return bytes(out)
     if pred < 10:
         raise _Unsupported("unsupported_stream_filter")
     cols = int(parms.get("Columns", 1))

@@ -551,6 +551,31 @@ def test_pdf_text_state_operators():
     assert two_shows(25) == "ABCD"    # compressed: still merged
 
 
+def test_pdf_tiff_predictor():
+    """/Predictor 2 (TIFF horizontal differencing) reverses exactly for
+    1- and 3-component rows; bad row sizes stay typed malformed."""
+    import zlib as _z
+
+    import pytest
+
+    from pdf_extract_spark.kernels.pdf_extract import (_Malformed,
+                                                       _apply_filter)
+    for colors, cols in ((1, 16), (3, 5)):
+        width = colors * cols
+        plain = bytes((7 * i + 3) % 256 for i in range(width * 4))
+        diffed = bytearray(plain)
+        for r in range(0, len(plain), width):
+            for i in range(width - 1, colors - 1, -1):
+                diffed[r + i] = (plain[r + i] - plain[r + i - colors]) & 0xFF
+        got = _apply_filter("/FlateDecode", _z.compress(bytes(diffed)),
+                            {"Predictor": 2, "Columns": cols,
+                             "Colors": colors})
+        assert got == plain, (colors, cols)
+    with pytest.raises(_Malformed):
+        _apply_filter("/FlateDecode", _z.compress(b"xyz"),
+                      {"Predictor": 2, "Columns": 2})
+
+
 def test_pdf_inline_images_stripped():
     """Inline-image binary data (BI…ID…EI, §8.9.7) never reaches the text
     tokenizer — extraction equals the image-free twin even when the data
