@@ -1029,6 +1029,14 @@ def _parse_spans(stream: bytes,
                 if isinstance(stack[-1], str):
                     emit(stack[-1])
                 stack = []
+            elif op == '"' and len(stack) >= 3:  # aw ac string "
+                word_sp = float(stack[-3])
+                char_sp = float(stack[-2])
+                lm = _mat_translate(0.0, -leading, lm)
+                tm = lm
+                if isinstance(stack[-1], str):
+                    emit(stack[-1])
+                stack = []
             elif op == "Tj" and stack:
                 if isinstance(stack[-1], str):
                     emit(stack[-1])

@@ -549,6 +549,13 @@ def test_pdf_text_state_operators():
     assert two_shows(100) == "ABCD"   # exact advance: zero gap
     assert two_shows(400) == "AB CD"  # stretched: gap appears
     assert two_shows(25) == "ABCD"    # compressed: still merged
+    # the " operator: set word/char spacing, move to next line, show
+    ops = ["BT", "/F1 12 Tf", "14 TL", "72 720 Td", "(first line) Tj",
+           '1.5 0.2 (second via quote op) "',
+           '0 0 (third via quote op) "', "ET"]
+    t, e = extract_pdf_text(pdf_writer.build_pdf2([ops]))
+    assert e is None
+    assert t == "first line\nsecond via quote op\nthird via quote op"
 
 
 def test_pdf_tiff_predictor():
