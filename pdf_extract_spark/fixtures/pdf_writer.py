@@ -410,7 +410,8 @@ def build_pdf2(pages_ops: list[list[str]], compress: bool = False,
                simple_enc: tuple | None = None,
                forms: dict[str, tuple] | None = None,
                inherit_resources: bool = False,
-               encrypt_user_pw: bytes = b"") -> bytes:
+               encrypt_user_pw: bytes = b"",
+               f1_widths: tuple | None = None) -> bytes:
     """PDF 1.5 assembler. Differences from build_pdf: optional cross-
     reference STREAM (W [1 3 1], type-1/2 entries, optional PNG Up
     predictor), optional /ObjStm packing of every non-stream object
@@ -431,11 +432,20 @@ def build_pdf2(pages_ops: list[list[str]], compress: bool = False,
     if simple_enc is not None:
         font_res += f" /F3 {f3_num} 0 R"
 
+    f1_dict = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+    if f1_widths is not None:
+        # (first_char, [w0, w1, ...], missing_width|None)
+        fc, ws = f1_widths[0], f1_widths[1]
+        f1_dict += (f" /FirstChar {fc} /Widths ["
+                    + " ".join(str(w) for w in ws) + "]")
+        if len(f1_widths) > 2 and f1_widths[2] is not None:
+            f1_dict += (" /FontDescriptor << /Type /FontDescriptor "
+                        f"/MissingWidth {f1_widths[2]} >>")
     dicts: dict[int, bytes] = {
         1: b"<< /Type /Catalog /Pages 2 0 R >>",
         2: (f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
             .encode()),
-        f1_num: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        f1_num: (f1_dict + " >>").encode(),
     }
     if simple_enc is not None:
         base, differences = simple_enc

@@ -734,14 +734,42 @@ class _CMap:
         return "".join(out)
 
 
-def _fonts_from_res(doc: _Doc, res: object):
-    """Resolve the page's /Resources /Font entries to decoders: an
-    explicit /ToUnicode CMap wins (§9.10.2); otherwise a simple-font
-    /Encoding (base name or dict with /BaseEncoding + /Differences,
-    §9.6.6) builds a 256-entry byte table; fonts with neither decode
-    as latin-1 (the font's built-in encoding, identity here)."""
+class _Font:
+    """Per-resource font state: `dec` decodes show-string bytes (a
+    ToUnicode _CMap, a pdfenc.SimpleEnc, or None = latin-1), `wtab` is
+    the per-byte-code advance fraction (glyph width / 1000) from
+    /FirstChar + /Widths when the font declares them — making word-gap
+    and table-column geometry EXACT instead of CHAR_W-estimated —
+    with /MissingWidth (or the CHAR_W estimate) for undeclared codes."""
+
+    __slots__ = ("dec", "wtab", "missing")
+
+    def __init__(self, dec=None, wtab=None, missing=None) -> None:
+        self.dec, self.wtab, self.missing = dec, wtab, missing
+
+    def advance(self, raw: bytes, nchars: int) -> float:
+        """Text-space advance (fraction of font size) for a shown
+        string: exact per-byte widths when declared, else the kernel's
+        CHAR_W glyph estimate over the DECODED length."""
+        if self.wtab is None:
+            return CHAR_W * nchars
+        fallback = self.missing if self.missing is not None else CHAR_W
+        tab = self.wtab
+        return sum(w if (w := tab[b]) is not None else fallback
+                   for b in raw)
+
+
+def _fonts_from_res(doc: _Doc, res: object) -> dict[str, _Font]:
+    """Resolve the page's /Resources /Font entries to _Font state: an
+    explicit /ToUnicode CMap wins for decoding (§9.10.2); otherwise a
+    simple-font /Encoding (base name or dict with /BaseEncoding +
+    /Differences, §9.6.6) builds a 256-entry byte table; fonts with
+    neither decode as latin-1 (the font's built-in encoding, identity
+    here). Simple (1-byte) fonts additionally carry /FirstChar +
+    /Widths advances; multi-byte CMap fonts keep the CHAR_W estimate
+    (CID /W ranges are out of scope)."""
     from .pdfenc import SimpleEnc, build_encoding
-    fonts: dict[str, object] = {}
+    fonts: dict[str, _Font] = {}
     fdict = doc.resolve(res.get("Font")) if isinstance(res, dict) else None
     if not isinstance(fdict, dict):
         return fonts
@@ -749,19 +777,36 @@ def _fonts_from_res(doc: _Doc, res: object):
         fobj = doc.resolve(ref)
         if not isinstance(fobj, dict):
             continue
+        dec = None
         tu = doc.resolve(fobj.get("ToUnicode"))
         if isinstance(tu, tuple):
-            fonts[name] = _CMap(tu[1])
-            continue
-        enc = doc.resolve(fobj.get("Encoding"))
-        if isinstance(enc, str):
-            fonts[name] = SimpleEnc(build_encoding(enc[1:], None))
-        elif isinstance(enc, dict):
-            base = doc.resolve(enc.get("BaseEncoding"))
-            diffs = doc.resolve(enc.get("Differences"))
-            fonts[name] = SimpleEnc(build_encoding(
-                base[1:] if isinstance(base, str) else None,
-                diffs if isinstance(diffs, list) else None))
+            dec = _CMap(tu[1])
+        else:
+            enc = doc.resolve(fobj.get("Encoding"))
+            if isinstance(enc, str):
+                dec = SimpleEnc(build_encoding(enc[1:], None))
+            elif isinstance(enc, dict):
+                base = doc.resolve(enc.get("BaseEncoding"))
+                diffs = doc.resolve(enc.get("Differences"))
+                dec = SimpleEnc(build_encoding(
+                    base[1:] if isinstance(base, str) else None,
+                    diffs if isinstance(diffs, list) else None))
+        wtab = missing = None
+        if not isinstance(dec, _CMap):
+            ws = doc.resolve(fobj.get("Widths"))
+            fc = doc.resolve(fobj.get("FirstChar"))
+            if isinstance(ws, list) and isinstance(fc, int):
+                wtab = [None] * 256
+                for k, wv in enumerate(ws):
+                    wv = doc.resolve(wv)
+                    if isinstance(wv, (int, float)) and 0 <= fc + k <= 255:
+                        wtab[fc + k] = float(wv) / 1000.0
+                fd = doc.resolve(fobj.get("FontDescriptor"))
+                mw = doc.resolve(fd.get("MissingWidth")) \
+                    if isinstance(fd, dict) else None
+                if isinstance(mw, (int, float)):
+                    missing = float(mw) / 1000.0
+        fonts[name] = _Font(dec, wtab, missing)
     return fonts
 
 
@@ -813,13 +858,17 @@ TABLE_X_TOL = 3.0
 
 
 class _Span:
-    __slots__ = ("x", "y", "size", "text")
+    __slots__ = ("x", "y", "size", "text", "w")
 
-    def __init__(self, x: float, y: float, size: float, text: str) -> None:
+    def __init__(self, x: float, y: float, size: float, text: str,
+                 w: float | None = None) -> None:
         self.x, self.y, self.size, self.text = x, y, size, text
+        self.w = w  # device-space advance; None = CHAR_W estimate
 
     @property
     def x_end(self) -> float:
+        if self.w is not None:
+            return self.x + self.w
         return self.x + CHAR_W * self.size * len(self.text)
 
 
@@ -909,24 +958,32 @@ def _parse_spans(stream: bytes,
     stack: list = []           # operand stack
     in_array = False
     array_items: list = []
-    cmap = None
+    font: _Font | None = None
 
     def show(s: str) -> str:
-        return cmap.decode(s.encode("latin-1")) if cmap else s
+        if font is not None and font.dec is not None:
+            return font.dec.decode(s.encode("latin-1"))
+        return s
 
     def emit(s: str) -> None:
-        # advance model (§9.4.4, on the kernel's CHAR_W glyph-width
-        # estimate): w = (Σ glyph widths + Tc·n + Tw·spaces) · Tz;
-        # Ts displaces the rendered position vertically but not the
-        # advance. Defaults (0/0/100%/0) reduce to the plain estimate.
+        # advance model (§9.4.4): w = (Σ glyph widths + Tc·n +
+        # Tw·spaces) · Tz, where glyph widths come from the font's
+        # /Widths table when declared and the CHAR_W estimate
+        # otherwise; Ts displaces the rendered position vertically but
+        # not the advance. Defaults (0/0/100%/0) reduce to the plain
+        # estimate, and the exact width rides on the span so word-gap
+        # and table geometry use it too.
         nonlocal tm
+        raw = s
         s = show(s)
         if s:
             trm = _mat_mul(_mat_translate(0.0, rise, tm), ctm)
-            spans.append(_Span(trm[4], trm[5],
-                               size * _mat_scale(trm), s))
-            w = (CHAR_W * size * len(s) + char_sp * len(s)
+            sc = _mat_scale(trm)
+            frac = (font.advance(raw.encode("latin-1"), len(s))
+                    if font is not None else CHAR_W * len(s))
+            w = (frac * size + char_sp * len(s)
                  + word_sp * s.count(" ")) * hscale
+            spans.append(_Span(trm[4], trm[5], size * sc, s, w * sc))
             tm = _mat_translate(w, 0.0, tm)
 
     pos = 0
@@ -990,7 +1047,7 @@ def _parse_spans(stream: bytes,
                 if (fonts and len(stack) >= 2
                         and isinstance(stack[-2], str)
                         and stack[-2].startswith("/")):
-                    cmap = fonts.get(stack[-2][1:])
+                    font = fonts.get(stack[-2][1:])
                 stack = []
             elif op == "Td" and len(stack) >= 2:
                 lm = _mat_translate(float(stack[-2]), float(stack[-1]), lm)

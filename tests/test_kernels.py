@@ -537,18 +537,22 @@ def test_pdf_text_state_operators():
     styled = pdf_writer.build_pdf2(
         [pdf_writer.page_ops_text_state(lines)])
     assert extract_pdf_text(styled) == (want, None)
-    # two consecutive shows: at Tz 100 the first advance clears
-    # GAP_FACTOR and splits the word; at Tz 25 it compresses to a
-    # quarter and the spans must merge
-    def two_shows(tz: int) -> str:
+    # consecutive shows stay contiguous at ANY Tz (scaling stretches
+    # the glyphs themselves — span x_end carries the scaled advance),
+    # while a TJ kern between them opens a real gap that scales too
+    def two_shows(tz: int, kern: int = 0) -> str:
+        arr = "[(AB)] TJ" if not kern else f"[(AB) {-kern}] TJ"
         ops = ["BT", "/F1 12 Tf", "72 720 Td", f"{tz} Tz",
-               "(AB) Tj", "(CD) Tj", "ET"]
+               arr, "(CD) Tj", "ET"]
         t, e = extract_pdf_text(pdf_writer.build_pdf2([ops]))
         assert e is None
         return t
-    assert two_shows(100) == "ABCD"   # exact advance: zero gap
-    assert two_shows(400) == "AB CD"  # stretched: gap appears
-    assert two_shows(25) == "ABCD"    # compressed: still merged
+    assert two_shows(100) == "ABCD"       # zero gap: merged
+    assert two_shows(400) == "ABCD"       # stretched glyphs: still merged
+    assert two_shows(25) == "ABCD"        # compressed: still merged
+    assert two_shows(100, 600) == "AB CD"   # kern opens a word gap
+    assert two_shows(25, 2000) == "AB CD"   # big kern survives compression
+    assert two_shows(25, 600) == "ABCD"     # small kern compresses away
     # the " operator: set word/char spacing, move to next line, show
     ops = ["BT", "/F1 12 Tf", "14 TL", "72 720 Td", "(first line) Tj",
            '1.5 0.2 (second via quote op) "',
@@ -581,6 +585,40 @@ def test_pdf_tiff_predictor():
     with pytest.raises(_Malformed):
         _apply_filter("/FlateDecode", _z.compress(b"xyz"),
                       {"Predictor": 2, "Columns": 2})
+
+
+def test_pdf_widths_table_advances():
+    """A declared /FirstChar + /Widths table makes advances exact:
+    narrow glyphs (width 250) pull consecutive shows together where the
+    CHAR_W estimate (500) would split them, wide glyphs (900) force a
+    word gap the estimate would miss; /MissingWidth covers undeclared
+    codes. Fonts without /Widths keep the estimate (goldens unchanged)."""
+    def shows(widths) -> str:
+        ops = ["BT", "/F1 12 Tf", "72 720 Td", "(AB) Tj", "(CD) Tj", "ET"]
+        pdf = pdf_writer.build_pdf2([ops], f1_widths=widths)
+        t, e = extract_pdf_text(pdf)
+        assert e is None
+        return t
+    assert shows(None) == "ABCD"                    # estimate: contiguous
+    # all four glyphs declared at 250/1000: advance 2*0.25*12 = 6pt but
+    # x_end estimate would be 12pt — only the DECLARED width keeps the
+    # second show adjacent after the true 6pt advance
+    assert shows((65, [250, 250, 250, 250])) == "ABCD"
+    # wide glyphs: true advance 2*0.9*12 = 21.6pt, estimate 12pt; the
+    # next show starts 21.6pt in — adjacent under declared widths, a
+    # 9.6pt phantom gap under the estimate. Then narrow SECOND pair
+    # (undeclared -> MissingWidth 900) keeps symmetry
+    assert shows((65, [900, 900], 900)) == "ABCD"
+    # declared 250 for AB but the advance between spans comes from a Td
+    # jump of 12pt: true x_end = 72+6, gap = 6pt > GAP_FACTOR*12 -> split
+    ops = ["BT", "/F1 12 Tf", "72 720 Td", "(AB) Tj",
+           "ET", "BT", "/F1 12 Tf", "84 720 Td", "(CD) Tj", "ET"]
+    pdf = pdf_writer.build_pdf2([ops], f1_widths=(65, [250, 250]))
+    assert extract_pdf_text(pdf) == ("AB CD", None)
+    # same geometry WITHOUT widths: estimate says x_end = 72+12 = 84,
+    # zero gap -> merged. The declared table changes the verdict.
+    pdf = pdf_writer.build_pdf2([ops])
+    assert extract_pdf_text(pdf) == ("ABCD", None)
 
 
 def test_pdf_inline_images_stripped():
