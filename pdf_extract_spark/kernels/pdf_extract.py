@@ -980,7 +980,8 @@ def _parse_spans(stream: bytes,
             trm = _mat_mul(_mat_translate(0.0, rise, tm), ctm)
             sc = _mat_scale(trm)
             frac = (font.advance(raw.encode("latin-1"), len(s))
-                    if font is not None else CHAR_W * len(s))
+                    if font is not None and font.wtab is not None
+                    else CHAR_W * len(s))
             w = (frac * size + char_sp * len(s)
                  + word_sp * s.count(" ")) * hscale
             spans.append(_Span(trm[4], trm[5], size * sc, s, w * sc))
