@@ -411,6 +411,7 @@ def build_pdf2(pages_ops: list[list[str]], compress: bool = False,
                forms: dict[str, tuple] | None = None,
                inherit_resources: bool = False,
                encrypt_user_pw: bytes = b"",
+               encrypt_metadata: bool = True,
                f1_widths: tuple | None = None) -> bytes:
     """PDF 1.5 assembler. Differences from build_pdf: optional cross-
     reference STREAM (W [1 3 1], type-1/2 entries, optional PNG Up
@@ -532,7 +533,8 @@ def build_pdf2(pages_ops: list[list[str]], compress: bool = False,
     enc = None
     if encrypt:
         from ..kernels.pdfcrypt import FixtureEncryptor
-        enc = FixtureEncryptor(encrypt, user_pw=encrypt_user_pw)
+        enc = FixtureEncryptor(encrypt, user_pw=encrypt_user_pw,
+                               encrypt_metadata=encrypt_metadata)
         # the /Encrypt dict stays top-level (its strings are the one
         # thing never encrypted) and is referenced from the trailer
         enc_num = max(list(dicts) + list(streams)) + 1

@@ -436,10 +436,14 @@ class FixtureEncryptor:
     _ID0 = bytes(range(16))
     _OWNER = b"fixture-owner-password"
 
-    def __init__(self, mode: str, user_pw: bytes = b"") -> None:
+    def __init__(self, mode: str, user_pw: bytes = b"",
+                 encrypt_metadata: bool = True) -> None:
         """user_pw other than b'' produces a genuinely password-
-        protected document (V2/R3 modes) for quarantine fixtures."""
+        protected document (V2/R3 modes) for quarantine fixtures;
+        encrypt_metadata=False exercises Algorithm 2's extra
+        0xFFFFFFFF key-derivation input (R4 only)."""
         self.mode = mode
+        self.encrypt_metadata = encrypt_metadata
         p = -44  # print allowed, modify/copy denied — a typical wild P
         if mode == "rc4-40":
             okey = hashlib.md5(_pad_pw(self._OWNER)).digest()[:5]
@@ -460,7 +464,8 @@ class FixtureEncryptor:
                 o = rc4(bytes(b ^ i for b in okey[:16]), o)
             self.o = o
             r = 3 if mode == "rc4-128" else 4
-            self.key = _alg2_file_key(user_pw, o, p, self._ID0, r, 16, True)
+            self.key = _alg2_file_key(user_pw, o, p, self._ID0, r, 16,
+                                      encrypt_metadata)
             self.u = _alg4_5_u(self.key, r, self._ID0)
             if mode == "rc4-128":
                 self.enc = (b"<< /Filter /Standard /V 2 /R 3 /Length 128 /P "
@@ -468,29 +473,43 @@ class FixtureEncryptor:
                             + b" /U " + _hexs(self.u) + b" >>")
                 self.cfm = "rc4"
             else:
+                meta = (b" /EncryptMetadata false"
+                        if not encrypt_metadata else b"")
                 self.enc = (b"<< /Filter /Standard /V 4 /R 4 /Length 128 /P "
-                            + str(p).encode()
+                            + str(p).encode() + meta
                             + b" /CF << /StdCF << /CFM /AESV2 /AuthEvent "
                             b"/DocOpen /Length 16 >> >> /StmF /StdCF "
                             b"/StrF /StdCF /O " + _hexs(o)
                             + b" /U " + _hexs(self.u) + b" >>")
                 self.cfm = "aes"
-        elif mode == "aesv3":
+        elif mode in ("aesv3", "aesv3r5"):
+            r = 6 if mode == "aesv3" else 5
             self.key = hashlib.sha256(b"fixture-aesv3-file-key").digest()
             vs, ks = b"uVALsalt", b"uKEYsalt"
-            u48 = _hash_2b(b"", vs, b"") + vs + ks
-            ue = aes_cbc_encrypt(_hash_2b(b"", ks, b""), b"\x00" * 16,
-                                 self.key)
-            ovs, oks = b"oVALsalt", b"oKEYsalt"
-            o48 = _hash_2b(self._OWNER, ovs, u48) + ovs + oks
-            oe = aes_cbc_encrypt(_hash_2b(self._OWNER, oks, u48),
-                                 b"\x00" * 16, self.key)
+            if r == 6:
+                u48 = _hash_2b(b"", vs, b"") + vs + ks
+                ue = aes_cbc_encrypt(_hash_2b(b"", ks, b""), b"\x00" * 16,
+                                     self.key)
+                ovs, oks = b"oVALsalt", b"oKEYsalt"
+                o48 = _hash_2b(self._OWNER, ovs, u48) + ovs + oks
+                oe = aes_cbc_encrypt(_hash_2b(self._OWNER, oks, u48),
+                                     b"\x00" * 16, self.key)
+            else:
+                # deprecated R5 (Adobe Extension Level 3): plain SHA-256
+                u48 = hashlib.sha256(b"" + vs).digest() + vs + ks
+                ue = aes_cbc_encrypt(hashlib.sha256(b"" + ks).digest(),
+                                     b"\x00" * 16, self.key)
+                ovs, oks = b"oVALsalt", b"oKEYsalt"
+                o48 = hashlib.sha256(self._OWNER + ovs).digest() + ovs + oks
+                oe = aes_cbc_encrypt(
+                    hashlib.sha256(self._OWNER + oks).digest(),
+                    b"\x00" * 16, self.key)
             perms = aes_encrypt_block(
                 _expand_key(self.key),
                 struct.pack("<i", p) + b"\xff\xff\xff\xffTadbfixt")
             self.o, self.u = o48, u48
-            self.enc = (b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P "
-                        + str(p).encode()
+            self.enc = (b"<< /Filter /Standard /V 5 /R " + str(r).encode()
+                        + b" /Length 256 /P " + str(p).encode()
                         + b" /CF << /StdCF << /CFM /AESV3 /AuthEvent "
                         b"/DocOpen /Length 32 >> >> /StmF /StdCF "
                         b"/StrF /StdCF /O " + _hexs(o48)

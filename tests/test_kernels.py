@@ -363,6 +363,16 @@ def test_pdf_encrypted_byte_identical():
         chained = pdf_writer.build_pdf2(
             pgs, encrypt=mode, filters=["/ASCII85Decode", "/FlateDecode"])
         assert extract_pdf_text(chained) == (want, None), mode
+    # deprecated AESV3 rev 5 (plain SHA-256 derivation) and the R4
+    # /EncryptMetadata false key-derivation branch (extra 0xFFFFFFFF
+    # input to Algorithm 2)
+    assert extract_pdf_text(
+        pdf_writer.build_pdf2(pgs, encrypt="aesv3r5")) == (want, None)
+    assert extract_pdf_text(pdf_writer.build_pdf2(
+        pgs, encrypt="aesv3r5", xref_stream=True, objstm=True,
+        compress=True)) == (want, None)
+    assert extract_pdf_text(pdf_writer.build_pdf2(
+        pgs, encrypt="aesv2", encrypt_metadata=False)) == (want, None)
 
 
 def test_pdf_encrypted_taxonomy():
