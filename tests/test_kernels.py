@@ -631,6 +631,18 @@ def test_pdf_widths_table_advances():
     assert extract_pdf_text(pdf) == ("ABCD", None)
 
 
+def test_pdf_invisible_text_extracts():
+    """Tr 3 (invisible render mode) text MUST extract: scanned PDFs
+    carry their OCR layer as invisible text over the page image, and a
+    crawl extractor that honored visibility would return nothing for
+    every scanned document. Ignoring Tr is a deliberate kernel choice,
+    matching production extractors (pdfminer, pdftotext)."""
+    ops = ["BT", "/F1 12 Tf", "3 Tr", "72 720 Td",
+           "(ocr layer text under a scan) Tj", "ET"]
+    assert extract_pdf_text(pdf_writer.build_pdf2([ops])) \
+        == ("ocr layer text under a scan", None)
+
+
 def test_pdf_inline_images_stripped():
     """Inline-image binary data (BI…ID…EI, §8.9.7) never reaches the text
     tokenizer — extraction equals the image-free twin even when the data
