@@ -873,13 +873,31 @@ class _Span:
 
 
 _TOKEN_RE = re.compile(
-    rb"\((?:[^()\\]|\\.)*\)"      # literal string
-    rb"|<[0-9A-Fa-f\s]*>"         # hex string
-    rb"|\[|\]"
+    rb"\("                        # literal string opener — balanced
+    rb"|<[0-9A-Fa-f\s]*>"         # parens are depth-scanned in the loop
+    rb"|\[|\]"                    # (§7.3.4.2 allows nested unescaped ())
     rb"|/[A-Za-z0-9]+"
     rb"|[-+]?\d*\.?\d+"
     rb"|[A-Za-z'\"*]+"
 )
+
+
+def _scan_literal(stream: bytes, start: int) -> int:
+    """End index (past the closing paren) of the literal string whose
+    '(' is at start-1: depth-counted with escape skipping, exactly the
+    _parse_value discipline. Unterminated ⇒ end of stream."""
+    depth, i, n = 1, start, len(stream)
+    while i < n and depth:
+        b = stream[i]
+        if b == 0x5C:
+            i += 2
+            continue
+        if b == 0x28:
+            depth += 1
+        elif b == 0x29:
+            depth -= 1
+        i += 1
+    return i
 
 _INLINE_ID_RE = re.compile(rb"\bID[\x00\t\n\x0c\r ]")
 _INLINE_EOD_RE = re.compile(
@@ -1015,8 +1033,13 @@ def _parse_spans(stream: bytes,
         elif tok == b"]":
             in_array = False
             stack.append(array_items)
-        elif tok.startswith(b"("):
-            s = _unescape(tok[1:-1])
+        elif tok == b"(":
+            end = _scan_literal(stream, pos)
+            body = stream[pos:end]
+            if body.endswith(b")"):
+                body = body[:-1]
+            s = _unescape(body)
+            pos = end
             if in_array:
                 array_items.append(s)
             else:

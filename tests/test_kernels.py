@@ -631,6 +631,25 @@ def test_pdf_widths_table_advances():
     assert extract_pdf_text(pdf) == ("ABCD", None)
 
 
+def test_pdf_nested_paren_strings():
+    """§7.3.4.2: literal strings may contain BALANCED unescaped parens;
+    the content tokenizer depth-scans them (the regex alternative would
+    split '(a(b)c)' at the inner close and fabricate operands). Escaped
+    and balanced parens mix; arrays too; unterminated strings don't
+    crash."""
+    ops = ["BT", "/F1 12 Tf", "72 720 Td",
+           "(outer (nested (deep)) text) Tj", "0 -14 TD",
+           r"(escaped \( mix (bal) \)) Tj", "0 -14 TD",
+           "[(arr (one)) -700 (two)] TJ", "ET"]
+    t, e = extract_pdf_text(pdf_writer.build_pdf2([ops]))
+    assert e is None
+    assert t == ("outer (nested (deep)) text\n"
+                 "escaped ( mix (bal) )\narr (one) two")
+    bad = ["BT", "/F1 12 Tf", "72 720 Td", "(never closed"]
+    t, e = extract_pdf_text(pdf_writer.build_pdf2([bad]))
+    assert (t is None) != (e is None)
+
+
 def test_pdf_invisible_text_extracts():
     """Tr 3 (invisible render mode) text MUST extract: scanned PDFs
     carry their OCR layer as invisible text over the page image, and a
