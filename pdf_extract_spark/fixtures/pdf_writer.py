@@ -412,7 +412,8 @@ def build_pdf2(pages_ops: list[list[str]], compress: bool = False,
                inherit_resources: bool = False,
                encrypt_user_pw: bytes = b"",
                encrypt_metadata: bool = True,
-               f1_widths: tuple | None = None) -> bytes:
+               f1_widths: tuple | None = None,
+               cid_w: tuple | None = None) -> bytes:
     """PDF 1.5 assembler. Differences from build_pdf: optional cross-
     reference STREAM (W [1 3 1], type-1/2 entries, optional PNG Up
     predictor), optional /ObjStm packing of every non-stream object
@@ -467,7 +468,7 @@ def build_pdf2(pages_ops: list[list[str]], compress: bool = False,
     if forms:
         # /Form XObjects: (ops, matrix-6-tuple|None, own_resources).
         # own_resources=False exercises the caller-resource fallback.
-        fm_base = f1_num + 4
+        fm_base = f1_num + 20
         xents = []
         for i, (nm, (fops, matrix, own_res)) in enumerate(
                 sorted(forms.items())):
@@ -498,9 +499,21 @@ def build_pdf2(pages_ops: list[list[str]], compress: bool = False,
         streams[4 + 2 * i] = _content_stream(ops, compress=compress,
                                              filters=filters)
     if cid_font:
-        dicts[f2_num] = (
-            f"<< /Type /Font /Subtype /Type0 /BaseFont /Fixture-CID "
-            f"/Encoding /Identity-H /ToUnicode {cmap_num} 0 R >>").encode()
+        f2_dict = (f"<< /Type /Font /Subtype /Type0 /BaseFont /Fixture-CID "
+                   f"/Encoding /Identity-H /ToUnicode {cmap_num} 0 R")
+        if cid_w is not None:
+            # (raw /W array text, DW int|None): a CIDFontType2
+            # descendant carrying the CID width table
+            desc_num = f1_num + 10
+            w_txt, dw = cid_w
+            d = ("<< /Type /Font /Subtype /CIDFontType2 "
+                 "/BaseFont /Fixture-CID")
+            if dw is not None:
+                d += f" /DW {dw}"
+            d += f" /W [{w_txt}] >>"
+            dicts[desc_num] = d.encode()
+            f2_dict += f" /DescendantFonts [{desc_num} 0 R]"
+        dicts[f2_num] = (f2_dict + " >>").encode()
         body = tounicode_cmap()
         streams[cmap_num] = (b"<< /Length " + str(len(body)).encode()
                              + b" >>\nstream\n" + body + b"\nendstream")

@@ -740,23 +740,67 @@ class _Font:
     the per-byte-code advance fraction (glyph width / 1000) from
     /FirstChar + /Widths when the font declares them — making word-gap
     and table-column geometry EXACT instead of CHAR_W-estimated —
-    with /MissingWidth (or the CHAR_W estimate) for undeclared codes."""
+    with /MissingWidth (or the CHAR_W estimate) for undeclared codes.
+    Composite (Type0) fonts carry CID widths instead: `cid_w` from the
+    descendant font's /W with `dw` = /DW (spec default 1000)."""
 
-    __slots__ = ("dec", "wtab", "missing")
+    __slots__ = ("dec", "wtab", "missing", "cid_w", "dw")
 
-    def __init__(self, dec=None, wtab=None, missing=None) -> None:
+    def __init__(self, dec=None, wtab=None, missing=None,
+                 cid_w=None, dw=1.0) -> None:
         self.dec, self.wtab, self.missing = dec, wtab, missing
+        self.cid_w, self.dw = cid_w, dw
+
+    @property
+    def has_widths(self) -> bool:
+        return self.wtab is not None or self.cid_w is not None
 
     def advance(self, raw: bytes, nchars: int) -> float:
         """Text-space advance (fraction of font size) for a shown
-        string: exact per-byte widths when declared, else the kernel's
-        CHAR_W glyph estimate over the DECODED length."""
+        string: exact per-code widths when declared (1-byte /Widths or
+        2-byte CID /W), else the kernel's CHAR_W glyph estimate over
+        the DECODED length."""
+        if self.cid_w is not None:
+            nb = getattr(self.dec, "nbytes", 2)
+            get, dw = self.cid_w.get, self.dw
+            return sum(get(int.from_bytes(raw[i:i + nb], "big"), dw)
+                       for i in range(0, len(raw) - nb + 1, nb))
         if self.wtab is None:
             return CHAR_W * nchars
         fallback = self.missing if self.missing is not None else CHAR_W
         tab = self.wtab
         return sum(w if (w := tab[b]) is not None else fallback
                    for b in raw)
+
+
+def _parse_cid_w(items: list, resolve) -> dict[int, float]:
+    """§9.7.4.3 /W array: `c [w1 w2 …]` lists consecutive-CID widths,
+    `c1 c2 w` sets a range (clamped to 2-byte CID space). Fractions of
+    font size (glyph space / 1000)."""
+    out: dict[int, float] = {}
+    vals = [resolve(x) for x in items]
+    i = 0
+    while i + 1 < len(vals):
+        c = vals[i]
+        nxt = vals[i + 1]
+        if not isinstance(c, (int, float)):
+            break
+        if isinstance(nxt, list):
+            for k, wv in enumerate(nxt):
+                wv = resolve(wv)
+                if isinstance(wv, (int, float)):
+                    out[int(c) + k] = float(wv) / 1000.0
+            i += 2
+        elif isinstance(nxt, (int, float)) and i + 2 < len(vals) \
+                and isinstance(vals[i + 2], (int, float)):
+            lo, hi = int(c), min(int(nxt), int(c) + 0xFFFF)
+            w = float(vals[i + 2]) / 1000.0
+            for code in range(lo, hi + 1):
+                out[code] = w
+            i += 3
+        else:
+            break
+    return out
 
 
 def _fonts_from_res(doc: _Doc, res: object) -> dict[str, _Font]:
@@ -781,6 +825,19 @@ def _fonts_from_res(doc: _Doc, res: object) -> dict[str, _Font]:
         tu = doc.resolve(fobj.get("ToUnicode"))
         if isinstance(tu, tuple):
             dec = _CMap(tu[1])
+            desc = doc.resolve(fobj.get("DescendantFonts"))
+            cid_w, dw = None, 1.0
+            if isinstance(desc, list) and desc:
+                d0 = doc.resolve(desc[0])
+                if isinstance(d0, dict):
+                    wl = doc.resolve(d0.get("W"))
+                    if isinstance(wl, list):
+                        cid_w = _parse_cid_w(wl, doc.resolve)
+                    dwv = doc.resolve(d0.get("DW"))
+                    if isinstance(dwv, (int, float)):
+                        dw = float(dwv) / 1000.0
+            fonts[name] = _Font(dec, cid_w=cid_w, dw=dw)
+            continue
         else:
             enc = doc.resolve(fobj.get("Encoding"))
             if isinstance(enc, str):
@@ -998,7 +1055,7 @@ def _parse_spans(stream: bytes,
             trm = _mat_mul(_mat_translate(0.0, rise, tm), ctm)
             sc = _mat_scale(trm)
             frac = (font.advance(raw.encode("latin-1"), len(s))
-                    if font is not None and font.wtab is not None
+                    if font is not None and font.has_widths
                     else CHAR_W * len(s))
             w = (frac * size + char_sp * len(s)
                  + word_sp * s.count(" ")) * hscale

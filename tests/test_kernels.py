@@ -650,6 +650,32 @@ def test_pdf_nested_paren_strings():
     assert (t is None) != (e is None)
 
 
+def test_pdf_cid_w_widths():
+    """Composite-font CID widths (§9.7.4.3): the descendant font's /W
+    drives 2-byte-code advances in both forms (`c1 c2 w` range and
+    `c [w …]` list) with /DW for undeclared CIDs — narrow CJK-style
+    glyph tables change the word-gap verdict where the CHAR_W estimate
+    would merge. Fonts without /W keep the estimate."""
+    ops = ["BT", "/F2 12 Tf", "72 720 Td", "<00410042> Tj", "ET",
+           "BT", "/F2 12 Tf", "84 720 Td", "<00430044> Tj", "ET"]
+    est = pdf_writer.build_pdf2([ops], cid_font=True)
+    # estimate: x_end = 72 + 2*0.5*12 = 84 -> zero gap -> merged
+    assert extract_pdf_text(est) == ("ABCD", None)
+    # /W 250 range form: true x_end = 72 + 6 -> 6pt gap -> split
+    rng = pdf_writer.build_pdf2([ops], cid_font=True,
+                                cid_w=("65 68 250", 1000))
+    assert extract_pdf_text(rng) == ("AB CD", None)
+    # consecutive-list form, no /DW (spec default 1000)
+    lst = pdf_writer.build_pdf2([ops], cid_font=True,
+                                cid_w=("65 [250 250 250 250]", None))
+    assert extract_pdf_text(lst) == ("AB CD", None)
+    # undeclared CIDs fall to /DW: declare only 0x43/0x44 narrow and
+    # make DW narrow too -> same split geometry via the default
+    dw = pdf_writer.build_pdf2([ops], cid_font=True,
+                               cid_w=("67 68 250", 250))
+    assert extract_pdf_text(dw) == ("AB CD", None)
+
+
 def test_pdf_invisible_text_extracts():
     """Tr 3 (invisible render mode) text MUST extract: scanned PDFs
     carry their OCR layer as invisible text over the page image, and a
