@@ -418,6 +418,13 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
 
 
 def _apply_filter(name: object, raw: bytes, parms: dict) -> bytes:
+    if name == "/Crypt":
+        # §7.4.10: the Identity crypt filter is an explicit no-op some
+        # writers emit in /Filter chains; any NAMED crypt filter would
+        # re-route encryption and stays typed-unsupported
+        if parms.get("Name", "/Identity") == "/Identity":
+            return raw
+        raise _Unsupported("unsupported_stream_filter")
     if name == "/FlateDecode":
         try:
             raw = zlib.decompress(raw)

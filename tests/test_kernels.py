@@ -301,6 +301,12 @@ def test_pdf_filter_malformed_and_unsupported():
         _apply_filter("/DCTDecode", b"x", {})
     with pytest.raises(_Unsupported):
         _apply_filter("/JPXDecode", b"x", {})
+    # /Crypt: Identity (explicit or default) is a no-op pass-through;
+    # any named crypt filter stays typed-unsupported (§7.4.10)
+    assert _apply_filter("/Crypt", b"xyz", {}) == b"xyz"
+    assert _apply_filter("/Crypt", b"xyz", {"Name": "/Identity"}) == b"xyz"
+    with pytest.raises(_Unsupported):
+        _apply_filter("/Crypt", b"xyz", {"Name": "/StdCF"})
     data = ("abcd" * 3000).encode()
     enc0 = _lzw_encode(data, 0)
     assert _apply_filter("/LZWDecode", enc0, {"EarlyChange": 0}) == data
